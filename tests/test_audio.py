@@ -1,0 +1,167 @@
+"""Audio payload invariant: Arrow-batched decode + SNR>=30dB + transcript
+equality, validated against the Python oracle of planted corruptions."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from valor_spark.operators import audio as A
+from valor_spark.sources import synthetic as S
+
+from oracle_clips import expected_clips, ref_present
+
+N = 2200
+MAX_SAMPLES = 256
+
+
+@pytest.fixture(scope="module")
+def invariant(spark):
+    clips = S.clips(spark, n=N, n_shards=8, max_samples=MAX_SAMPLES)
+    ref = S.clips_ref(spark, n=N, n_shards=8, max_samples=MAX_SAMPLES)
+    return A.with_audio_invariant(clips, ref).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    specs = expected_clips(N, MAX_SAMPLES)
+    originals = {s.clip_id: s for s in specs if not s.is_dup and not s.is_hot}
+    joined = [
+        s
+        for s in specs
+        if not s.is_hot
+        and s.clip_id in originals
+        and ref_present(originals[s.clip_id])
+    ]
+    return joined
+
+
+def test_decode_one_unit():
+    pcm = np.arange(-4, 4, dtype="<i2")
+    sig, err = A.decode_one(pcm.tobytes(), "pcm_s16le")
+    assert err is None and np.array_equal(sig, pcm)
+    wav = S.wrap_wav(pcm, 8000)
+    sig, err = A.decode_one(wav, "wav")
+    assert err is None and np.array_equal(sig, pcm)
+    _, err = A.decode_one(b"\x00\x01\x02", "pcm_s16le")
+    assert err == "odd_byte_length"
+    _, err = A.decode_one(b"whatever", "mp3")
+    assert err == "unsupported_codec:mp3"
+    _, err = A.decode_one(b"RIFFgarbage", "wav")
+    assert err and err.startswith("decode_failed")
+    _, err = A.decode_one(None, "wav")
+    assert err == "null_bytes"
+
+
+def test_snr_db_unit():
+    ref = np.array([1000, -1000, 500], dtype=np.int16)
+    assert A.snr_db(ref, ref) == float("inf")
+    noisy = ref + np.array([10, -10, 5], dtype=np.int16)
+    v = A.snr_db(noisy, ref)
+    assert 35.0 < v < 45.0  # amplitude ratio 100 -> 40 dB
+    assert np.isnan(A.snr_db(ref[:2], ref))
+
+
+def test_join_excludes_orphans_and_hot(invariant, oracle):
+    assert invariant.count() == len(oracle)
+
+
+def test_corrupted_rows_fail_snr(invariant, oracle):
+    corrupted = {
+        s.clip_id for s in oracle
+        if s.corrupted and not s.truncated and s.codec in ("pcm_s16le", "wav")
+        and s.n_samples > 0
+    }
+    assert corrupted, "fixture must contain corrupted joined rows"
+    got = {
+        r["clip_id"]
+        for r in invariant.filter(
+            F.col("decode_error").isNull() & (F.col("snr_db") < A.SNR_DB_MIN)
+        ).collect()
+    }
+    assert got == corrupted
+    # corrupted SNR should sit near the designed ~12 dB, not at the margin
+    vals = [
+        r["snr_db"]
+        for r in invariant.filter(
+            F.col("decode_error").isNull() & (F.col("snr_db") < A.SNR_DB_MIN)
+        ).collect()
+    ]
+    assert all(5.0 < v < 20.0 for v in vals)
+
+
+def test_clean_rows_pass_snr(invariant, oracle):
+    clean = {
+        s.clip_id for s in oracle
+        if not s.corrupted and not s.truncated and s.codec in ("pcm_s16le", "wav")
+    }
+    rows = invariant.filter(F.col("clip_id").isin(list(clean))).collect()
+    for r in rows:
+        assert r["decode_error"] is None, r
+        assert r["snr_db"] >= A.SNR_DB_MIN
+
+
+def test_truncated_rows_flag_length_mismatch(invariant, oracle):
+    truncated = {
+        s.clip_id for s in oracle
+        if s.truncated and s.codec in ("pcm_s16le", "wav")
+    }
+    assert truncated, "fixture must contain truncated joined rows"
+    got = {
+        r["clip_id"]
+        for r in invariant.filter(
+            F.col("decode_error").startswith("length_mismatch")
+        ).collect()
+    }
+    assert got == truncated
+
+
+def test_bad_codec_rows_flag_unsupported(invariant, oracle):
+    bad = {s.clip_id for s in oracle if s.codec == "mp3"}
+    got = {
+        r["clip_id"]
+        for r in invariant.filter(
+            F.col("decode_error").startswith("unsupported_codec")
+        ).collect()
+    }
+    assert got == bad
+
+
+def test_transcript_mismatch_detected(invariant, oracle):
+    expected = {
+        s.clip_id for s in oracle if s.i % S.MISMATCH_TRANSCRIPT_STRIDE == 5
+    }
+    got = {
+        r["clip_id"]
+        for r in invariant.filter(
+            ~F.col("transcript").eqNullSafe(F.col("transcript_ref"))
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_audio_rules_emit_violations(spark, invariant, oracle):
+    from valor_spark.plans.engine import validate
+
+    res = validate(
+        invariant,
+        rules=A.audio_rules(),
+        key_cols=["clip_id"],
+        shard_col="shard",
+    )
+    vio = res.violations()
+    by_rule = {
+        r["rule"]: r["n"]
+        for r in vio.groupBy("rule").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_corrupt = sum(
+        1 for s in oracle
+        if s.corrupted and not s.truncated and s.codec in ("pcm_s16le", "wav")
+        and s.n_samples > 0
+    )
+    n_decode_err = sum(
+        1 for s in oracle if s.codec == "mp3" or s.truncated
+    )
+    n_mismatch = sum(1 for s in oracle if s.i % S.MISMATCH_TRANSCRIPT_STRIDE == 5)
+    assert by_rule.get("audio_snr", 0) == n_corrupt
+    assert by_rule.get("audio_decode", 0) == n_decode_err
+    assert by_rule.get("transcript_equal", 0) == n_mismatch

@@ -1,0 +1,71 @@
+"""KS / PSI drift: statistics vs hand-computed numpy, and end-to-end
+baseline-vs-shifted detection on the synthetic clips table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from valor_spark.operators import drift as D
+from valor_spark.sources import synthetic as S
+
+
+def test_ks_statistic_hand_check():
+    obs = {0: 10, 1: 30, 2: 60}
+    base = {0: 30, 1: 30, 2: 40}
+    # cum p = .1,.4,1.0 ; cum q = .3,.6,1.0 -> sup diff = .2
+    assert abs(D.ks_statistic(obs, base) - 0.2) < 1e-12
+
+
+def test_ks_statistic_identical_is_zero():
+    h = {0: 5, 3: 7}
+    assert D.ks_statistic(h, h) == 0.0
+
+
+def test_psi_statistic_hand_check():
+    obs = {"a": 50, "b": 50}
+    base = {"a": 0.9, "b": 0.1}
+    p = np.array([0.5, 0.5])
+    q = np.array([0.9, 0.1])
+    want = float(np.sum((p - q) * np.log(p / q)))
+    assert abs(D.psi_statistic(obs, base) - want) < 1e-12
+
+
+def test_psi_handles_missing_categories():
+    v = D.psi_statistic({"a": 100}, {"b": 1.0})
+    assert v > 1.0  # disjoint supports -> large PSI, no div-by-zero/NaN
+    assert np.isfinite(v)
+
+
+def test_numeric_histogram_clamps_and_counts(spark):
+    df = spark.createDataFrame([(x,) for x in [-5.0, 0.0, 9.9, 10.0, 99.0]], "v double")
+    h = {r["bin"]: r["cnt"] for r in D.numeric_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    # -5 clamps to bin 0; 0 and 9.9 -> bin 0; 10.0 -> bin 1; 99 -> bin 9
+    assert h == {0: 3, 1: 1, 9: 1}
+
+
+def test_end_to_end_no_drift(spark):
+    clips = S.clips(spark, n=1500, n_shards=4, with_audio=False)
+    ok = clips.filter((F.col("dur_ms") > 0) & (F.col("sr_hz") > 0))
+    baseline = D.baseline_from(
+        ok, numeric_cols={"dur_ms": (0.0, 1001.0, 20)}, categorical_cols=["sr_hz"]
+    ).cache()
+    ks = D.ks_drift(ok, "dur_ms", baseline, lo=0.0, hi=1001.0, nbins=20)
+    psi = D.psi_drift(ok, "sr_hz", baseline)
+    assert ks.passed and ks.value < 1e-9
+    assert psi.passed and psi.value < 1e-9
+
+
+def test_end_to_end_detects_shift(spark):
+    clips = S.clips(spark, n=1500, n_shards=4, with_audio=False)
+    ok = clips.filter((F.col("dur_ms") > 0) & (F.col("sr_hz") > 0))
+    baseline = D.baseline_from(
+        ok, numeric_cols={"dur_ms": (0.0, 1001.0, 20)}, categorical_cols=["sr_hz"]
+    ).cache()
+    shifted = ok.withColumn("dur_ms", F.col("dur_ms") + 400)
+    ks = D.ks_drift(shifted, "dur_ms", baseline, lo=0.0, hi=1001.0, nbins=20)
+    assert not ks.passed and ks.value > 0.3
+    skewed = ok.withColumn(
+        "sr_hz", F.when(F.col("sr_hz") == 8000, 16000).otherwise(F.col("sr_hz"))
+    )
+    psi = D.psi_drift(skewed, "sr_hz", baseline)
+    assert not psi.passed

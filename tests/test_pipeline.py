@@ -1,0 +1,117 @@
+"""Full pipeline end-to-end + checkpoint/resume."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from valor_spark.operators import drift as D
+from valor_spark.plans.pipeline import run_pipeline
+from valor_spark.sources import synthetic as S
+
+from oracle_clips import expected_clips, ref_present
+
+N = 2200
+MAX_SAMPLES = 256
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    clips = S.clips(spark, n=N, n_shards=8, max_samples=MAX_SAMPLES).cache()
+    ref = S.clips_ref(spark, n=N, n_shards=8, max_samples=MAX_SAMPLES).cache()
+    ok = clips.filter((F.col("dur_ms") > 0) & (F.col("sr_hz") > 0))
+    baseline = D.baseline_from(
+        ok, numeric_cols={"dur_ms": (0.0, 1001.0, 20)}, categorical_cols=["sr_hz"]
+    ).cache()
+    return clips, ref, baseline
+
+
+@pytest.fixture(scope="module")
+def report(spark, tables):
+    clips, ref, baseline = tables
+    return run_pipeline(spark, clips, ref, baseline)
+
+
+def test_row_rule_violations_match_oracle(report):
+    specs = expected_clips(N, MAX_SAMPLES)
+    got = {
+        (r["clip_id"], r["error"])
+        for r in report.violations.filter(
+            F.col("rule").isin(
+                "sr_valid", "dur_positive", "codec_allowed", "transcript_nonempty"
+            )
+        ).collect()
+    }
+    expected = set()
+    for s in specs:
+        if s.sr_hz <= 0:
+            expected.add((s.clip_id, "SampleRateNonPositive"))
+        elif s.sr_hz not in (8000, 16000, 22050, 24000, 44100, 48000):
+            expected.add((s.clip_id, "SampleRateNotAllowed"))
+        if s.dur_ms <= 0:
+            expected.add((s.clip_id, "DurationNonPositive"))
+        if s.codec not in ("pcm_s16le", "wav"):
+            expected.add((s.clip_id, f"CodecNotAllowed:{s.codec}"))
+        if s.transcript == "":
+            expected.add((s.clip_id, "TranscriptEmpty"))
+    assert got == expected
+
+
+def test_no_drift_on_clean_input(report):
+    assert all(d.passed for d in report.drift)
+    assert report.rows == N
+
+
+def test_shard_verdicts_cover_all_shards(report):
+    rows = report.shard_verdicts.collect()
+    assert {r["shard"] for r in rows} == set(range(8))
+    assert sum(r["rows"] for r in rows) == N
+    # with planted violations at every stride, no shard is fully clean at N=2200
+    assert all(r["violations"] > 0 for r in rows)
+
+
+def test_schema_gate_flags_bad_frame(spark, tables):
+    clips, _, _ = tables
+    bad = clips.withColumnRenamed("transcript", "text").withColumn(
+        "sr_hz", F.col("sr_hz").cast("long")
+    )
+    rep = run_pipeline(spark, bad.withColumn("transcript", F.lit(None).cast("string")), None)
+    kinds = {e.split(":")[0] for e in rep.schema_errors}
+    assert "type_mismatch" in kinds  # sr_hz long != int
+    assert "unexpected_column" in kinds  # text
+
+
+def test_checkpoint_resume_skips_completed(spark, tables, tmp_path_factory):
+    clips, ref, _ = tables
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    rep1 = run_pipeline(spark, clips, ref, checkpoint_dir=ckpt)
+    v1 = {
+        (r["clip_id"], r["rule"], r["error"])
+        for r in rep1.violations.collect()
+    }
+    assert os.path.exists(os.path.join(ckpt, "manifest.jsonl"))
+    # second run must skip all shard work and reproduce identical violations
+    rep2 = run_pipeline(spark, clips, ref, checkpoint_dir=ckpt)
+    assert rep2.skipped.get("row_rules") == list(range(8))
+    assert rep2.skipped.get("constraints") == [-1]
+    assert rep2.skipped.get("audio") == [-1]
+    v2 = {
+        (r["clip_id"], r["rule"], r["error"])
+        for r in rep2.violations.collect()
+    }
+    assert v1 == v2
+
+
+def test_checkpoint_manifest_has_lineage(spark, tables, tmp_path_factory):
+    clips, _, _ = tables
+    ckpt = str(tmp_path_factory.mktemp("ckpt2"))
+    run_pipeline(spark, clips, None, checkpoint_dir=ckpt)
+    from valor_spark.plans.checkpoint import RunManifest
+
+    recs = RunManifest(ckpt).records()
+    row_recs = [r for r in recs if r.stage == "row_rules"]
+    assert {r.shard for r in row_recs} == set(range(8))
+    assert all(r.rows > 0 for r in row_recs)
+    assert all(r.fingerprint != 0 for r in row_recs)
+    # fingerprints are per-shard content hashes: all distinct here
+    assert len({r.fingerprint for r in row_recs}) == 8

@@ -1,0 +1,166 @@
+"""Distribution-drift checks: binned KS and PSI (north_rule).
+
+No scipy in the environment — the statistics are hand-rolled: the heavy part
+(histogramming 10^12 rows) is a single DataFrame aggregation; the finish
+(cumulative sums over a few dozen bins) is driver-side numpy, which is O(bins)
+and scale-free.
+
+* KS (used on ``dur_ms``): sup |ECDF_obs - ECDF_baseline| over shared bins.
+* PSI (used on ``sr_hz``): sum((p-q) * ln(p/q)) with epsilon clamping.
+
+The baseline is a tiny histogram table ``(column_name, bin_lo, bin_hi,
+expected_share)`` (FIXTURES.md §3) — yesterday's distribution; at production
+scale it is itself produced by :func:`numeric_histogram` on a previous run
+and persisted.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EPS = 1e-9
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, lo: float, hi: float, nbins: int
+) -> DataFrame:
+    """Uniform-bin histogram as one aggregation: ``(bin, cnt)``.
+
+    Values outside [lo, hi) clamp to the edge bins (bin 0 / nbins-1); NULLs
+    are dropped.  One shuffle of at most ``nbins`` rows after map-side
+    partial aggregation — skew-free by construction."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    b = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), b)).cast("int")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def categorical_histogram(df: DataFrame, col: str) -> DataFrame:
+    """Exact value histogram ``(value, cnt)`` (for low-cardinality columns
+    like ``sr_hz``)."""
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).cast("string").alias("value"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _shares(counts: dict, keys: list) -> np.ndarray:
+    total = float(sum(counts.values())) or 1.0
+    return np.array([counts.get(k, 0) / total for k in keys])
+
+
+def ks_statistic(obs: dict, base: dict) -> float:
+    """sup-difference of cumulative shares over the union of (ordered) bins."""
+    keys = sorted(set(obs) | set(base))
+    p = _shares(obs, keys)
+    q = _shares(base, keys)
+    return float(np.max(np.abs(np.cumsum(p) - np.cumsum(q)))) if keys else 0.0
+
+
+def psi_statistic(obs: dict, base: dict) -> float:
+    """Population Stability Index with epsilon-clamped shares."""
+    keys = sorted(set(obs) | set(base))
+    p = np.clip(_shares(obs, keys), EPS, None)
+    q = np.clip(_shares(base, keys), EPS, None)
+    return float(np.sum((p - q) * np.log(p / q)))
+
+
+@dataclass
+class DriftResult:
+    column: str
+    metric: str  # 'ks' | 'psi'
+    value: float
+    threshold: float
+
+    @property
+    def passed(self) -> bool:
+        return self.value <= self.threshold
+
+
+def ks_drift(
+    df: DataFrame,
+    col: str,
+    baseline: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int,
+    threshold: float = 0.1,
+) -> DriftResult:
+    """KS drift of ``col`` against a baseline histogram table filtered to
+    ``column_name == col`` whose bins must be the same uniform grid."""
+    obs_rows = numeric_histogram(df, col, lo, hi, nbins).collect()
+    obs = {r["bin"]: r["cnt"] for r in obs_rows}
+    width = (hi - lo) / nbins
+    base_rows = baseline.filter(F.col("column_name") == col).collect()
+    base = {}
+    for r in base_rows:
+        # round, not floor: bin_lo = lo + k*width accumulates fp error and
+        # floor would misassign a bin edge to k-1
+        b = int(min(nbins - 1, max(0, round((r["bin_lo"] - lo) / width))))
+        base[b] = base.get(b, 0.0) + r["expected_share"]
+    return DriftResult(col, "ks", ks_statistic(obs, base), threshold)
+
+
+def psi_drift(
+    df: DataFrame,
+    col: str,
+    baseline: DataFrame,
+    threshold: float = 0.2,
+) -> DriftResult:
+    """PSI drift of a categorical column against baseline expected shares
+    (``bin_lo`` holds the category value for categorical baselines)."""
+    obs_rows = categorical_histogram(df, col).collect()
+    obs = {r["value"]: r["cnt"] for r in obs_rows}
+    base_rows = baseline.filter(F.col("column_name") == col).collect()
+    base = {str(int(r["bin_lo"])): r["expected_share"] for r in base_rows}
+    return DriftResult(col, "psi", psi_statistic(obs, base), threshold)
+
+
+def baseline_from(
+    df: DataFrame,
+    numeric_cols: dict,
+    categorical_cols: list[str],
+) -> DataFrame:
+    """Build a baseline_dist table from a (clean/previous) DataFrame.
+
+    ``numeric_cols``: {col: (lo, hi, nbins)}.  Output schema matches
+    FIXTURES.md §3: (column_name, bin_lo, bin_hi, expected_share)."""
+    parts = []
+    for col, (lo, hi, nbins) in numeric_cols.items():
+        width = (hi - lo) / nbins
+        h = numeric_histogram(df, col, lo, hi, nbins)
+        total = F.sum("cnt").over(Window.partitionBy())
+        parts.append(
+            h.select(
+                F.lit(col).alias("column_name"),
+                (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+                (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+                (F.col("cnt") / total).alias("expected_share"),
+            )
+        )
+    for col in categorical_cols:
+        h = categorical_histogram(df, col)
+        total = F.sum("cnt").over(Window.partitionBy())
+        parts.append(
+            h.select(
+                F.lit(col).alias("column_name"),
+                F.col("value").cast("double").alias("bin_lo"),
+                F.col("value").cast("double").alias("bin_hi"),
+                (F.col("cnt") / total).alias("expected_share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,295 @@
+"""The full clips-validation pipeline (north_rule assembly).
+
+Stages (SURVEY.md §2.6): (0) schema gate -> (1) vectorized row rules ->
+(2) whole-table constraints (uniqueness, referential, stats) -> (3) audio
+payload invariant -> (4) distribution drift -> (5) verdict assembly.  Every
+stage emits violation rows in one uniform shape and per-shard metrics into
+the checkpoint manifest; a resumed run skips completed shards/stages.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from valor_spark import EArray, adapt, conN, fail_if, field, make
+from valor_spark.operators import constraints as C
+from valor_spark.operators import drift as D
+from valor_spark.operators.audio import audio_rules, with_audio_invariant
+from valor_spark.plans.checkpoint import GLOBAL_SHARD, RunManifest, ShardRecord
+from valor_spark.plans.engine import validate
+
+EA = EArray()
+
+CLIPS_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr_hz", T.IntegerType()),
+        T.StructField("dur_ms", T.IntegerType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("transcript", T.StringType()),
+    ]
+)
+
+ALLOWED_SR = [8000, 16000, 22050, 24000, 44100, 48000]
+ALLOWED_CODECS = ["pcm_s16le", "wav"]
+
+
+def clips_row_rules() -> dict:
+    """Per-row schema/sanity rules over the input_hint columns — all pure
+    Column expressions (one narrow select, no shuffle)."""
+    return {
+        "clip_id_valid": adapt(
+            field("clip_id"),
+            make(
+                lambda c: F.when(c.isNull() | (c == ""), EA.lit(["ClipIdEmpty"])), EA
+            ),
+        ),
+        "sr_valid": adapt(
+            field("sr_hz"),
+            conN(
+                make(lambda c: F.when(c.isNull() | (c <= 0), EA.lit(["SampleRateNonPositive"])), EA),
+                make(
+                    lambda c: F.when(
+                        c.isNotNull() & (c > 0) & ~c.isin(ALLOWED_SR),
+                        EA.lit(["SampleRateNotAllowed"]),
+                    ),
+                    EA,
+                ),
+            ),
+        ),
+        "dur_positive": adapt(
+            field("dur_ms"),
+            make(lambda c: F.when(c.isNull() | (c <= 0), EA.lit(["DurationNonPositive"])), EA),
+        ),
+        "codec_allowed": adapt(
+            field("codec"),
+            make(
+                lambda c: F.when(
+                    c.isNull() | ~c.isin(ALLOWED_CODECS),
+                    F.array(F.concat(F.lit("CodecNotAllowed:"), F.coalesce(c, F.lit("null")))),
+                ),
+                EA,
+            ),
+        ),
+        "transcript_nonempty": adapt(
+            field("transcript"),
+            make(lambda c: F.when(c.isNull() | (c == ""), EA.lit(["TranscriptEmpty"])), EA),
+        ),
+        "bytes_present": adapt(
+            field("bytes"),
+            make(lambda c: F.when(c.isNull() | (F.length(c) == 0), EA.lit(["BytesEmpty"])), EA),
+        ),
+    }
+
+
+@dataclass
+class PipelineReport:
+    rows: int = 0
+    violations: DataFrame | None = None
+    shard_verdicts: DataFrame | None = None
+    stats: DataFrame | None = None
+    drift: list = dc_field(default_factory=list)
+    schema_errors: list = dc_field(default_factory=list)
+    stage_wall_s: dict = dc_field(default_factory=dict)
+    skipped: dict = dc_field(default_factory=dict)
+
+
+def _per_shard_metrics(vio: DataFrame, input_by_shard: DataFrame, stage: str) -> list[ShardRecord]:
+    """Join per-shard violation counts onto per-shard row counts+fingerprints."""
+    counts = {r["shard"]: r for r in input_by_shard.collect()}
+    vio_counts = {
+        r["shard"]: r["n"]
+        for r in vio.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    now = time.time()
+    return [
+        ShardRecord(
+            stage=stage,
+            shard=int(s) if s is not None else GLOBAL_SHARD,
+            rows=int(rec["rows"]),
+            violations=int(vio_counts.get(s, 0)),
+            wall_s=0.0,
+            fingerprint=int(rec["fingerprint"]),
+            finished_at=now,
+        )
+        for s, rec in counts.items()
+    ]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    clips_ref: DataFrame | None = None,
+    baseline: DataFrame | None = None,
+    checkpoint_dir: str | None = None,
+    snr_db_min: float = 30.0,
+    audio_repartition: int | None = None,
+) -> PipelineReport:
+    report = PipelineReport()
+    manifest = RunManifest(checkpoint_dir) if checkpoint_dir else None
+    vio_frames: list[DataFrame] = []
+    empty_vio = spark.createDataFrame([], C.VIOLATION_SCHEMA)
+
+    has_shard = "shard" in clips.columns
+    shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
+    shards_fp = (
+        clips.groupBy(shard_col.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            # bit_xor: order-independent content hash that cannot overflow
+            # (ANSI mode makes sum(hash) throw on long overflow)
+            F.bit_xor(F.xxhash64("clip_id")).alias("fingerprint"),
+        )
+    )
+
+    # ---- stage 0: schema gate -------------------------------------------
+    t0 = time.time()
+    core = clips.drop("shard", "id", "gen_id")  # engine columns are not part of the contract
+    report.schema_errors = C.schema_violations(core, CLIPS_SCHEMA)
+    if report.schema_errors:
+        vio_frames.append(
+            spark.createDataFrame(
+                [(None, None, "schema", "", e) for e in report.schema_errors],
+                C.VIOLATION_SCHEMA,
+            )
+        )
+    report.stage_wall_s["schema"] = time.time() - t0
+
+    # ---- stage 1: row rules (resume: skip completed shards) --------------
+    t0 = time.time()
+    stage = "row_rules"
+    done = manifest.completed_shards(stage) if manifest else set()
+    todo = clips.filter(~shard_col.isin([int(s) for s in done])) if done else clips
+    if manifest and done and todo.rdd.isEmpty():
+        report.skipped[stage] = sorted(done)
+        vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
+    else:
+        res = validate(
+            todo,
+            rules=clips_row_rules(),
+            key_cols=["clip_id"],
+            shard_col="shard" if has_shard else None,
+        )
+        vio = res.violations().select(
+            "clip_id",
+            (F.col("shard") if has_shard else F.lit(0)).cast("int").alias("shard"),
+            "rule",
+            "path",
+            "error",
+        )
+        if manifest:
+            manifest.write_violations(stage, vio)
+            todo_fp = shards_fp if not done else shards_fp.filter(
+                ~F.col("shard").isin([int(s) for s in done])
+            )
+            manifest.append(_per_shard_metrics(vio, todo_fp, stage))
+            vio = spark.read.parquet(manifest.violations_path(stage))
+        vio_frames.append(vio)
+        report.skipped[stage] = sorted(done)
+    report.stage_wall_s[stage] = time.time() - t0
+
+    # ---- stage 2: whole-table constraints (global resume) ---------------
+    t0 = time.time()
+    stage = "constraints"
+    if manifest and manifest.stage_done(stage):
+        vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
+        report.skipped[stage] = [GLOBAL_SHARD]
+    else:
+        parts = [C.uniqueness_violations(clips, "clip_id")]
+        if clips_ref is not None:
+            parts.append(C.referential_violations(clips, clips_ref, "clip_id"))
+        cons = parts[0]
+        for p in parts[1:]:
+            cons = cons.unionByName(p)
+        if manifest:
+            manifest.write_violations(stage, cons)
+            cons = spark.read.parquet(manifest.violations_path(stage))
+            n = cons.count()
+            manifest.mark_global(stage, rows=0, violations=n, wall_s=time.time() - t0)
+        vio_frames.append(cons)
+    report.stats = C.column_stats(
+        clips.select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+    )
+    report.stage_wall_s[stage] = time.time() - t0
+
+    # ---- stage 3: audio payload invariant --------------------------------
+    if clips_ref is not None and "pcm_ref" in clips_ref.columns:
+        t0 = time.time()
+        stage = "audio"
+        if manifest and manifest.stage_done(stage):
+            vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
+            report.skipped[stage] = [GLOBAL_SHARD]
+        else:
+            inv = with_audio_invariant(clips, clips_ref, repartition=audio_repartition)
+            res = validate(
+                inv,
+                rules=audio_rules(snr_db_min),
+                key_cols=["clip_id"],
+                shard_col="shard" if "shard" in inv.columns else None,
+            )
+            vio = res.violations().select(
+                "clip_id",
+                (F.col("shard") if "shard" in inv.columns else F.lit(0))
+                .cast("int")
+                .alias("shard"),
+                "rule",
+                "path",
+                "error",
+            )
+            if manifest:
+                manifest.write_violations(stage, vio)
+                vio = spark.read.parquet(manifest.violations_path(stage))
+                n = vio.count()
+                manifest.mark_global(stage, rows=0, violations=n, wall_s=time.time() - t0)
+            vio_frames.append(vio)
+        report.stage_wall_s[stage] = time.time() - t0
+
+    # ---- stage 4: distribution drift -------------------------------------
+    if baseline is not None:
+        t0 = time.time()
+        report.drift = [
+            D.ks_drift(clips.filter(F.col("dur_ms") > 0), "dur_ms", baseline,
+                       lo=0.0, hi=1001.0, nbins=20),
+            D.psi_drift(clips.filter(F.col("sr_hz") > 0), "sr_hz", baseline),
+        ]
+        for d in report.drift:
+            if not d.passed:
+                vio_frames.append(
+                    spark.createDataFrame(
+                        [(None, None, f"drift_{d.metric}", f".{d.column}",
+                          f"DriftExceeded:{d.metric}={d.value:.4f}>{d.threshold}")],
+                        C.VIOLATION_SCHEMA,
+                    )
+                )
+        report.stage_wall_s["drift"] = time.time() - t0
+
+    # ---- stage 5: verdict assembly ---------------------------------------
+    t0 = time.time()
+    all_vio = vio_frames[0] if vio_frames else empty_vio
+    for v in vio_frames[1:]:
+        all_vio = all_vio.unionByName(v)
+    report.violations = all_vio
+    report.shard_verdicts = (
+        shards_fp.alias("s")
+        .join(
+            all_vio.groupBy("shard").agg(F.count(F.lit(1)).alias("violations")),
+            on="shard",
+            how="left",
+        )
+        .select(
+            "shard",
+            "rows",
+            F.coalesce("violations", F.lit(0)).alias("violations"),
+            (F.coalesce("violations", F.lit(0)) == 0).alias("passed"),
+            "fingerprint",
+        )
+    )
+    report.rows = sum(r["rows"] for r in shards_fp.select("rows").collect())
+    report.stage_wall_s["verdicts"] = time.time() - t0
+    return report
