@@ -1,38 +1,589 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry demonstrates an operator from SURVEY.md §2 (the
+Valor rule algebra + engine constraints) or a training-data-pipeline
+operator (dedup / similarity / text analysis); ``oracle_sql()`` carries the
+equivalent DuckDB SQL over the same parquet tables.  Column names and
+rounding match on both sides (the driver hash-compares values after sorting
+columns by name).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import valor_spark as V
+from valor_spark.operators import dedup as DD
+from valor_spark.operators import drift as DR
+from valor_spark.operators import similarity as SIM
+from valor_spark.operators import text as TX
+from valor_spark.plans.engine import validate
+
+EA = V.EArray()
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+CLIPS_FIXTURE = os.path.join(FIXTURE_DIR, "clips.parquet")
+CLIPS_FIXTURE_N = 3000
+
+
+def _ensure_clips_fixture() -> str:
+    """Deterministic non-audio clips fixture parquet, written with pyarrow
+    from the pure-Python row spec (valor_spark.sources.rowspec) so both the
+    Spark query and the DuckDB oracle read identical bytes."""
+    if not os.path.exists(CLIPS_FIXTURE):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from valor_spark.sources.rowspec import expected_clips
+
+        specs = expected_clips(CLIPS_FIXTURE_N, max_samples=0)
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        table = pa.table(
+            {
+                "clip_id": pa.array([s.clip_id for s in specs], pa.string()),
+                "sr_hz": pa.array([s.sr_hz for s in specs], pa.int32()),
+                "dur_ms": pa.array([s.dur_ms for s in specs], pa.int32()),
+                "codec": pa.array([s.codec for s in specs], pa.string()),
+                "transcript": pa.array([s.transcript for s in specs], pa.string()),
+            }
+        )
+        pq.write_table(table, CLIPS_FIXTURE)
+    return CLIPS_FIXTURE
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# rule sets used by the validation queries
+# ---------------------------------------------------------------------------
+
+def _orders_rules() -> dict:
+    return {
+        "priority_urgent": V.adapt(
+            V.field("o_orderpriority"),
+            V.pass_if(
+                ["PriorityLow"],
+                lambda p: p.startswith("1-") | p.startswith("2-"),
+                EA,
+            ),
+        ),
+        "totalprice_cap": V.adapt(
+            V.field("o_totalprice"),
+            V.fail_if(["PriceAboveCap"], lambda x: x > 300000, EA),
+        ),
+    }
+
+
+def _lineitem_quality_rule() -> V.Rule:
+    return V.conN(
+        V.adapt(V.field("l_quantity"), V.fail_if(["QtyHigh"], lambda q: q > 45, EA)),
+        V.adapt(V.field("l_discount"), V.fail_if(["DiscountHigh"], lambda d: d >= 0.08, EA)),
+        V.adapt(V.field("l_tax"), V.fail_if(["TaxHigh"], lambda t: t >= 0.07, EA)),
+    )
+
+
+def _clips_rules() -> dict:
+    from valor_spark.plans.pipeline import clips_row_rules
+
+    rules = clips_row_rules()
+    del rules["bytes_present"]  # fixture carries no audio payload
+    del rules["clip_id_valid"]  # never fires in the fixture (kept in pytest)
+    return rules
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_val_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = validate(_t(spark, sf_dir, "orders"), _orders_rules(), key_cols=["o_orderkey"])
+    return res.violations().select("o_orderkey", "rule", "error")
+
+
+def q_val_lineitem_acc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    res = validate(li, {"quality": _lineitem_quality_rule()},
+                   key_cols=["l_orderkey", "l_linenumber"])
+    ann = res.annotated
+    v = F.col("__valor_quality")
+    return ann.filter(v.getField("wrong")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(";", v.getField("err")).alias("err_str"),
+    )
+
+
+def q_val_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_clips_fixture()
+    clips = spark.read.parquet(path)
+    res = validate(clips, _clips_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
+
+
+def q_uniq_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from valor_spark.operators.constraints import duplicate_keys
+
+    return duplicate_keys(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_col_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+
+    def stats(col: str) -> DataFrame:
+        return li.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            F.round(F.min(col).cast("double"), 4).alias("min_v"),
+            F.round(F.max(col).cast("double"), 4).alias("max_v"),
+            F.round(F.avg(col), 4).alias("mean_v"),
+            F.round(F.stddev(col), 4).alias("std_v"),
+        ).select(F.lit(col).alias("column"), "*")
+
+    return stats("l_quantity").unionByName(stats("l_extendedprice"))
+
+
+def q_events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_top2_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_region_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_psi_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("user_id") % 2 == 0)
+    base = ev.filter(F.col("user_id") % 2 == 1)
+    return DR.psi_df(obs, base, "event_type")
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return DR.numeric_histogram(ev, "value", 0.0, 500.0, 20).withColumnRenamed(
+        "cnt", "n"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup demo: the corpus unioned with an id-shifted copy of
+    itself, so every text forms a duplicate group (the raw corpus has no
+    exact dups)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d2 = d.withColumn("doc_id", F.col("doc_id") + 1000000)
+    return DD.exact_duplicates(d.unionByName(d2))
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", TX.token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", DD.simhash(F.col("text"), bits=32).alias("simhash"))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on corpus + salted near-copies (the raw corpus has no
+    near-dups): a copy of the first 20 docs with the first token dropped."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = (
+        d.filter(F.col("doc_id") < 20)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    return DD.minhash_lsh_pairs(
+        d.unionByName(near), k=16, bands=4, threshold=0.8
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk(emb, queries, k=3)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Valor rule-algebra violations over orders at sf0.001."""
+    return q_val_orders(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "val_orders": q_val_orders,
+        "val_lineitem_acc": q_val_lineitem_acc,
+        "val_clips": q_val_clips,
+        "uniq_custkeys": q_uniq_custkeys,
+        "customers_without_orders": q_customers_without_orders,
+        "col_stats": q_col_stats,
+        "events_first_per_user_type": q_events_first_per_user_type,
+        "top2_orders_per_cust": q_top2_orders_per_cust,
+        "pricing_summary": q_pricing_summary,
+        "region_acctbal": q_region_acctbal,
+        "psi_event_types": q_psi_event_types,
+        "value_histogram": q_value_histogram,
+        "dedup_exact": q_dedup_exact,
+        "text_profile": q_text_profile,
+        "token_stats_by_source": q_token_stats_by_source,
+        "simhash_docs": q_simhash_docs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "cosine_topk": q_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# engine-neutral token pipeline (matches valor_spark.operators.text.tokens)
+_SQL_TOKENS = "list_filter(regexp_split_to_array(lower({col}), '\\s+'), t -> t != '')"
+_SQL_TOKHASH = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({tok}, ''), "
+    "c -> ord(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    toks = _SQL_TOKENS.format(col="text")
+    hs = f"list_transform(list_distinct({toks}), t -> {_SQL_TOKHASH.format(tok='t')})"
+    terms = []
+    for bit in range(bits):
+        ones = f"len(list_filter(hs, h -> (h >> {bit}) & 1 = 1))"
+        terms.append(
+            f"(CASE WHEN {ones} >= len(hs) - {ones} THEN {2**bit}::BIGINT ELSE 0::BIGINT END)"
+        )
+    total = " + ".join(terms)
+    return f"SELECT doc_id, ({total}) AS simhash FROM (SELECT doc_id, {hs} AS hs FROM documents)"
+
+
+def _sql_minhash_pairs(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    toks = _SQL_TOKENS.format(col="text")
+    hs = f"list_transform(toks, t -> {_SQL_TOKHASH.format(tok='t')})"
+    sig_exprs = []
+    for i in range(k):
+        a, b = 2 * i + 1, 7 * i + 3
+        sig_exprs.append(
+            f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % 1000000007), 'min') AS s{i}"
+        )
+    rows_per_band = k // bands
+    band_rows = []
+    for bnd in range(bands):
+        idx = [bnd * rows_per_band + j for j in range(rows_per_band)]
+        bucket = "0::BIGINT"
+        for j in idx:
+            bucket = f"(({bucket}) * 1000003 + s{j}) % 1000000007"
+        band_rows.append(f"SELECT doc, toks, {bnd} AS band, {bucket} AS bucket FROM sigs")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1)
+  FROM documents WHERE doc_id < 20
+),
+base AS (
+  SELECT doc_id AS doc, list_distinct({toks}) AS toks FROM corpus
+),
+nonempty AS (SELECT * FROM base WHERE len(toks) > 0),
+sigs AS (
+  SELECT doc, toks, {', '.join(sig_exprs)}
+  FROM (SELECT doc, toks, {hs} AS hs FROM nonempty)
+),
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+),
+scored AS (
+  SELECT c.doc1, c.doc2,
+         len(list_intersect(x.toks, y.toks))::DOUBLE
+           / (len(x.toks) + len(y.toks) - len(list_intersect(x.toks, y.toks))) AS j
+  FROM cand c
+  JOIN nonempty x ON x.doc = c.doc1
+  JOIN nonempty y ON y.doc = c.doc2
+)
+SELECT doc1, doc2, ROUND(j, 4) AS jaccard FROM scored WHERE j >= {threshold}
+"""
+
+
+def _sql_text_profile() -> str:
+    toks = _SQL_TOKENS.format(col="text")
+    markers = {
+        "en": ["the", "and", "of", "is", "in"],
+        "de": ["der", "die", "und", "ist", "nicht"],
+        "fr": ["le", "la", "et", "est", "les"],
+        "es": ["el", "la", "de", "que", "y"],
+    }
+    hit = lambda ms: (
+        "len(list_filter(toks, t -> t IN ("
+        + ", ".join(f"'{m}'" for m in ms)
+        + ")))"
+    )
+    # mirror valor_spark.operators.text.lang_id's strict-> tie-break
+    lang_cases = """
+    CASE
+      WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+      WHEN h_de > h_en AND h_de >= h_fr AND h_de >= h_es THEN 'de'
+      WHEN h_fr > h_en AND h_fr > h_de AND h_fr >= h_es THEN 'fr'
+      WHEN h_es > h_en AND h_es > h_de AND h_es > h_fr THEN 'es'
+      ELSE 'und'
+    END
     """
-    return {}
+    stop = hit(["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS toks FROM documents
+),
+feats AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(toks) > 0 THEN ({stop})::DOUBLE / len(toks) ELSE 0.0 END AS swraw,
+         {hit(markers['en'])} AS h_en,
+         {hit(markers['de'])} AS h_de,
+         {hit(markers['fr'])} AS h_fr,
+         {hit(markers['es'])} AS h_es
+  FROM base
+)
+SELECT doc_id,
+       n_tokens,
+       ROUND(praw, 4) AS punct_ratio,
+       ROUND(swraw, 4) AS stopword_ratio,
+       {lang_cases} AS pred_lang,
+       ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.4
+             + GREATEST(0.0, 1.0 - praw * 5) * 0.3
+             + (CASE WHEN swraw > 0.05 AND swraw < 0.6 THEN 1.0 ELSE 0.5 END) * 0.3,
+             4) AS quality,
+       substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM feats
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _ensure_clips_fixture()
+    clips = f"read_parquet('{CLIPS_FIXTURE}')"
+    allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
+    return {
+        "val_orders": """
+            SELECT o_orderkey, 'priority_urgent' AS rule, 'PriorityLow' AS error
+            FROM orders
+            WHERE NOT (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+            UNION ALL
+            SELECT o_orderkey, 'totalprice_cap', 'PriceAboveCap'
+            FROM orders WHERE o_totalprice > 300000
+        """,
+        "val_lineitem_acc": """
+            SELECT l_orderkey, l_linenumber, array_to_string(errs, ';') AS err_str
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     list_concat(list_concat(
+                       CASE WHEN l_quantity > 45 THEN ['QtyHigh'] ELSE [] END,
+                       CASE WHEN l_discount >= 0.08 THEN ['DiscountHigh'] ELSE [] END),
+                       CASE WHEN l_tax >= 0.07 THEN ['TaxHigh'] ELSE [] END
+                     ) AS errs
+              FROM lineitem
+            ) WHERE len(errs) > 0
+        """,
+        "val_clips": f"""
+            SELECT clip_id, 'sr_valid' AS rule, 'SampleRateNonPositive' AS error
+            FROM {clips} WHERE sr_hz IS NULL OR sr_hz <= 0
+            UNION ALL
+            SELECT clip_id, 'sr_valid', 'SampleRateNotAllowed'
+            FROM {clips} WHERE sr_hz > 0 AND sr_hz NOT IN {allowed_sr}
+            UNION ALL
+            SELECT clip_id, 'dur_positive', 'DurationNonPositive'
+            FROM {clips} WHERE dur_ms IS NULL OR dur_ms <= 0
+            UNION ALL
+            SELECT clip_id, 'codec_allowed', 'CodecNotAllowed:' || COALESCE(codec, 'null')
+            FROM {clips} WHERE codec IS NULL OR codec NOT IN ('pcm_s16le', 'wav')
+            UNION ALL
+            SELECT clip_id, 'transcript_nonempty', 'TranscriptEmpty'
+            FROM {clips} WHERE transcript IS NULL OR transcript = ''
+        """,
+        "uniq_custkeys": """
+            SELECT o_custkey, COUNT(*) AS n FROM orders
+            GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "col_stats": """
+            SELECT 'l_quantity' AS column, COUNT(*) AS cnt,
+                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                   COUNT(DISTINCT l_quantity) AS n_distinct,
+                   ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
+                   ROUND(AVG(l_quantity), 4) AS mean_v, ROUND(STDDEV(l_quantity), 4) AS std_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', COUNT(*),
+                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                   COUNT(DISTINCT l_extendedprice),
+                   ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+                   ROUND(AVG(l_extendedprice), 4), ROUND(STDDEV(l_extendedprice), 4)
+            FROM lineitem
+        """,
+        "events_first_per_user_type": """
+            SELECT event_id, user_id, event_type FROM events
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        """,
+        "top2_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+            FROM orders
+            QUALIFY rnk <= 2
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "region_acctbal": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "psi_event_types": """
+            WITH o AS (
+              SELECT event_type AS k, COUNT(*)::DOUBLE AS n FROM events
+              WHERE user_id % 2 = 0 GROUP BY 1
+            ), b AS (
+              SELECT event_type AS k, COUNT(*)::DOUBLE AS n FROM events
+              WHERE user_id % 2 = 1 GROUP BY 1
+            ), op AS (SELECT k, n / (SELECT SUM(n) FROM o) AS p FROM o),
+               bq AS (SELECT k, n / (SELECT SUM(n) FROM b) AS q FROM b),
+               j AS (
+                 SELECT GREATEST(COALESCE(p, 0), 1e-9) AS p,
+                        GREATEST(COALESCE(q, 0), 1e-9) AS q
+                 FROM op FULL OUTER JOIN bq USING (k)
+               )
+            SELECT ROUND(SUM((p - q) * LN(p / q)), 6) AS psi FROM j
+        """,
+        "value_histogram": """
+            SELECT GREATEST(0, LEAST(19, FLOOR(value / 25.0)))::INT AS bin,
+                   COUNT(*) AS n
+            FROM events WHERE value IS NOT NULL GROUP BY 1
+        """,
+        "dedup_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+            )
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+                   COUNT(*) AS n, MIN(doc_id) AS keep_id
+            FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "text_profile": _sql_text_profile(),
+        "token_stats_by_source": f"""
+            SELECT source, COUNT(*) AS docs,
+                   SUM(len({_SQL_TOKENS.format(col='text')}))::BIGINT AS total_tokens,
+                   ROUND(AVG(len({_SQL_TOKENS.format(col='text')})), 4) AS avg_tokens
+            FROM documents GROUP BY source
+        """,
+        "simhash_docs": _sql_simhash(32),
+        "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
+        "cosine_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), c AS (
+              SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+            ), scored AS (
+              SELECT query_id, neighbor_id,
+                     ROUND(list_cosine_similarity(qv, cv), 6) AS score
+              FROM q, c WHERE query_id != neighbor_id
+            )
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored QUALIFY rank <= 3
+        """,
+    }

@@ -1,1 +1,9 @@
-from valor_spark.operators import audio, constraints, drift  # noqa: F401
+from valor_spark.operators import (  # noqa: F401
+    audio,
+    constraints,
+    dedup,
+    drift,
+    multimodal,
+    similarity,
+    text,
+)

@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines.
+
+* exact dedup            — md5-hash groupBy (one shuffle of (hash, id))
+* n-gram Jaccard near-dup — token-inverted-index pair generation with a
+  frequency cap (stops quadratic blowup on stopword-ish tokens), then
+  set-overlap Jaccard; all DataFrame ops
+* MinHash + LSH          — deterministic polynomial token hashes ->
+  k minhashes -> banded LSH buckets -> candidate pairs verified by true
+  Jaccard; built from F.transform/F.aggregate (no Python UDFs)
+* SimHash                — 64-bit sign-sum fingerprint over token hashes,
+  near-dup = Hamming distance <= k
+
+Scale notes: every operator shuffles on a *hash/bucket key*, never on raw
+text; candidate generation is bounded (frequency cap / LSH bands) so the
+pair-join is near-linear; the final pair verification touches only
+candidates.  At 100 TB, exact dedup is one hash-agg; MinHash-LSH is the
+scale path for near-dup (tunable bands/rows trade recall vs cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from valor_spark.operators.text import tokens
+
+MOD = 1_000_000_007
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: (fingerprint, n, keep_id).
+
+    ``keep_id`` = min id is the canonical representative."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_token_freq: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard >= threshold.
+
+    Inverted-index join: explode distinct tokens, drop tokens appearing in
+    more than ``max_token_freq`` docs (stopword guard — bounds the pair
+    blowup), self-join on token with doc1 < doc2, count shared tokens, then
+    Jaccard = inter / (n1 + n2 - inter).  Returns (doc1, doc2, jaccard)."""
+    toks = _distinct_tokens(df, text_col, id_col)
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = toks.join(
+        F.broadcast(freq.filter(F.col("df") <= max_token_freq).select("tok")),
+        on="tok",
+        how="inner",
+    )
+    # Jaccard over the *filtered* token universe (sizes and intersections
+    # use the same set, so identical docs always score 1.0)
+    sizes = rare.groupBy("doc").agg(F.count(F.lit(1)).alias("n_tok"))
+    pairs = (
+        rare.alias("a")
+        .join(rare.alias("b"), on="tok")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n_tok", "n1")), on="doc1")
+        .join(F.broadcast(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n_tok", "n2")), on="doc2")
+        .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return out
+
+
+def token_hash(tok: Column) -> Column:
+    """Deterministic polynomial rolling hash over character codes:
+    fold (acc*31 + ascii(char)) % MOD.  Chosen over xxhash64 so an
+    engine-independent oracle (DuckDB list_reduce) can reproduce it."""
+    chars = F.split(tok, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
+    )
+
+
+def minhash_signature(text: Column, k: int = 16) -> Column:
+    """k minhashes: h_i(t) = (a_i * H(t) + b_i) % MOD minimized over tokens.
+
+    a_i/b_i are fixed odd constants (deterministic across runs/engines)."""
+    toks = F.array_distinct(tokens(text))
+    hs = F.transform(toks, token_hash)
+    sigs = []
+    for i in range(k):
+        a = 2 * i + 1
+        b = 7 * i + 3
+        sigs.append(
+            F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MOD))
+        )
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs.
+
+    Sign -> band buckets (band id + hash of the band's rows) -> docs sharing
+    any bucket are candidates -> verified with true token-set Jaccard.
+    Returns (doc1, doc2, jaccard >= threshold)."""
+    rows_per_band = k // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(F.col(text_col), k).alias("sig"),
+        F.array_distinct(tokens(F.col(text_col))).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    # band bucket = polynomial combine of the band's signature rows — NOT
+    # F.hash, so an engine-independent oracle can reproduce the buckets
+    def band_bucket(b: int) -> Column:
+        return F.aggregate(
+            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 1000003 + h) % MOD,
+        )
+
+    banded = sig.select(
+        "doc",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "toks", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.toks").alias("t1"),
+            F.col("b.toks").alias("t2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    inter = F.size(F.array_intersect("t1", "t2"))
+    union = F.size(F.array_union("t1", "t2"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash fingerprint: for each bit, sum +1/-1 of token-hash bits; the
+    sign vector packs into a long.  32 bits keeps the packing inside long
+    arithmetic with plain Column ops."""
+    toks = F.array_distinct(tokens(text))
+    hs = F.transform(toks, token_hash)
+    out = F.lit(0).cast("long")
+    for bit in range(bits):
+        ones = F.size(F.filter(hs, lambda h: F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1))
+        zeros = F.size(hs) - ones
+        out = out + F.when(ones >= zeros, F.lit(2 ** bit).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Candidate generation: split the fingerprint into ``bands`` bit-blocks;
+    by pigeonhole any pair within distance < bands shares a block."""
+    block = bits // bands
+    sh = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh"))
+    banded = sh.select(
+        "doc",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sh", b * block).bitwiseAND(F.lit((1 << block) - 1)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sh", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.sh").alias("h1"),
+            F.col("b.sh").alias("h2"),
+        )
+        .dropDuplicates(["doc1", "doc2"])
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc1", "doc2", "hamming")
+    )

@@ -127,6 +127,25 @@ def psi_drift(
     return DriftResult(col, "psi", psi_statistic(obs, base), threshold)
 
 
+def psi_df(obs: DataFrame, base: DataFrame, col: str, round_to: int = 6) -> DataFrame:
+    """PSI between two DataFrames' distributions of ``col``, entirely as
+    DataFrame ops (no driver-side collect) — one row ``(psi)``.
+
+    Shares are epsilon-clamped so categories missing on one side contribute
+    a finite penalty (same formula as :func:`psi_statistic`)."""
+    o = obs.groupBy(F.col(col).cast("string").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    b = base.groupBy(F.col(col).cast("string").alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    o = o.select("k", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p"))
+    b = b.select("k", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("q"))
+    j = o.join(b, on="k", how="full_outer").select(
+        F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(EPS)).alias("p"),
+        F.greatest(F.coalesce("q", F.lit(0.0)), F.lit(EPS)).alias("q"),
+    )
+    return j.agg(
+        F.round(F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), round_to).alias("psi")
+    )
+
+
 def baseline_from(
     df: DataFrame,
     numeric_cols: dict,

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k — the exact baseline: query set x corpus via a
+  broadcast join, dot/norms with F.zip_with + F.aggregate (JVM-side), window
+  top-k.  Exact but O(|Q| * N) — fine when the query set is small/broadcast.
+* LSH-bucketed cosine      — the scale path: random-hyperplane signatures
+  (deterministic pseudo-planes derived from dimension index) bucket the
+  corpus; queries only compare within their bucket.  Approximate, near-linear.
+
+Scale notes: the corpus side never collects; broadcasting the (small) query
+set keeps the big side shuffle-free.  For 100 TB of embeddings the
+LSH variant shuffles once on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _f64(col: Column) -> Column:
+    """Cast array<float> -> array<double> so both engines (and the oracle)
+    compute in the same precision."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` is small -> broadcast; corpus streams through one stage;
+    per-query top-k via window row_number (score desc, id asc tie-break).
+    Self-matches (same id) are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _pseudo_plane_sign(vec: Column, plane_idx: int) -> Column:
+    """Sign of <vec, r_p> where r_p is a deterministic pseudo-random
+    hyperplane: r_p[d] = sin(p * 12.9898 + d * 78.233) (classic shader-noise
+    constants — fully reproducible in any engine)."""
+    proj = F.aggregate(
+        F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, d: x
+            * F.sin(F.lit(float(plane_idx)) * 12.9898 + d.cast("double") * 78.233),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (proj >= 0).cast("int")
+
+
+def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed to int."""
+    out = F.lit(0)
+    for p in range(n_planes):
+        out = out + _pseudo_plane_sign(vec, p) * F.lit(1 << p)
+    return out
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket are
+    scored.  Recall depends on n_planes; the join is on the bucket key so
+    the corpus shuffles once and each query touches ~N/2^n_planes rows."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
+    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
+    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
