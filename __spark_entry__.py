@@ -256,8 +256,17 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs on corpus + salted near-copies (the raw corpus has no
-    near-dups): a copy of the first 20 docs with the first token dropped."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near-dups): a copy of the first 20 docs with the first token dropped.
+
+    The corpus is capped at 1000 docs: the synthetic texts share a ~40-word
+    vocabulary, so at larger scales a large fraction of ALL pairs are
+    genuinely near-duplicate and the verified-pair output grows
+    quadratically — fine for LSH, useless as a fixed-cost benchmark query."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
     near = (
         d.filter(F.col("doc_id") < 20)
         .select(
@@ -330,11 +339,12 @@ def _sql_simhash(bits: int = 32) -> str:
 
 
 def _sql_minhash_pairs(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
+    from valor_spark.operators.dedup import minhash_coeffs
+
     toks = _SQL_TOKENS.format(col="text")
     hs = f"list_transform(toks, t -> {_SQL_TOKHASH.format(tok='t')})"
     sig_exprs = []
-    for i in range(k):
-        a, b = 2 * i + 1, 7 * i + 3
+    for i, (a, b) in enumerate(minhash_coeffs(k)):
         sig_exprs.append(
             f"list_aggregate(list_transform(hs, h -> ({a} * h + {b}) % 1000000007), 'min') AS s{i}"
         )
@@ -349,7 +359,7 @@ def _sql_minhash_pairs(k: int = 8, bands: int = 4, threshold: float = 0.5) -> st
     banded = " UNION ALL ".join(band_rows)
     return f"""
 WITH corpus AS (
-  SELECT doc_id, text FROM documents
+  SELECT doc_id, text FROM documents WHERE doc_id < 1000
   UNION ALL
   SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1)
   FROM documents WHERE doc_id < 20

@@ -1,0 +1,152 @@
+"""Training-data operators: dedup / similarity / text / multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from valor_spark.operators import dedup as DD
+from valor_spark.operators import multimodal as MM
+from valor_spark.operators import similarity as SIM
+from valor_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different text about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "spark engines about completely different text"),  # same token set as 2
+        (5, "unrelated words entirely here nothing shared"),
+    ]
+    return spark.createDataFrame(base, "doc_id bigint, text string")
+
+
+def test_exact_duplicates(docs):
+    got = DD.exact_duplicates(docs).collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 2 and got[0]["keep_id"] == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0          # exact dup
+    assert (0, 1) in pairs and 0.7 < pairs[(0, 1)] < 1.0     # near dup
+    assert (2, 4) in pairs and pairs[(2, 4)] == 1.0          # same token set
+    assert not any(5 in p for p in pairs)                     # disjoint doc
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in DD.minhash_lsh_pairs(docs, k=16, bands=4, threshold=0.5).collect()
+    }
+    assert pairs.get((0, 3)) == 1.0
+    assert pairs.get((2, 4)) == 1.0  # identical token sets -> identical signature
+    # near-dup (0,1) has jaccard 9/11 ~ 0.82; LSH with 16/4 should catch it
+    assert (0, 1) in pairs
+
+
+def test_simhash_pairs(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in docs.select(
+        "doc_id", DD.simhash(F.col("text")).alias("simhash")).collect()}
+    assert sh[0] == sh[3]                      # identical text, identical hash
+    assert bin(sh[0] ^ sh[1]).count("1") <= 8  # near dup -> small hamming
+    pairs = {(r["doc1"], r["doc2"]) for r in DD.simhash_pairs(docs, max_hamming=8, bands=4).collect()}
+    assert (0, 3) in pairs
+    assert (2, 4) in pairs                     # same token set
+
+
+def test_token_hash_matches_python(spark):
+    df = spark.createDataFrame([("abc",), ("x",)], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", DD.token_hash(F.col("t")).alias("h")).collect()}
+
+    def py_hash(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % DD.MOD
+        return acc
+
+    assert got["abc"] == py_hash("abc")
+    assert got["x"] == py_hash("x")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=16).astype(np.float32)  # near 0
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_cosine_topk_exact(emb):
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == 1 and rows[0]["score"] > 0.99
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["score"] >= rows[1]["score"] >= rows[2]["score"]
+
+
+def test_cosine_topk_lsh_recall(emb):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=1).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_lsh(
+            emb, emb.filter(F.col("vec_id") < 5), k=1, n_planes=4
+        ).collect()
+    }
+    # LSH is approximate: the strongly-similar planted pair must survive
+    assert (0, 1) in exact
+    assert (0, 1) in approx
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat is in the house and the dog is out"),
+            (1, "der hund ist nicht hier und die katze ist da"),
+            (2, "le chat est dans la maison et les chiens"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.text_profile(df).collect()}
+    assert got[0]["pred_lang"] == "en"
+    assert got[1]["pred_lang"] == "de"
+    assert got[2]["pred_lang"] == "fr"
+    assert got[3]["pred_lang"] == "und"
+    assert got[0]["n_tokens"] == 11
+    assert 0.0 <= got[0]["quality"] <= 1.0
+    assert len(got[0]["fingerprint"]) == 16
+
+
+def test_multimodal_features(spark):
+    rows = [(i, bytes([i]) * (10 + i)) for i in range(8)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id bigint, bytes binary")
+    out = {r["id"]: r for r in MM.image_features(df, dim=4).collect()}
+    assert out[0]["n_bytes"] == 10
+    assert len(out[0]["features"]) == 4
+    assert out[0]["error"] is None
+    # deterministic: same bytes -> same features
+    out2 = {r["id"]: r for r in MM.image_features(df, dim=4).collect()}
+    assert out[3]["features"] == out2[3]["features"]
+    assert out[3]["content_sha1"] == out2[3]["content_sha1"]
+    assert out[99]["error"] == "null_bytes"
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 10), (2, 1)], "vid int, n_frames int")
+    got = MM.frame_sample_plan(df, "n_frames", every_k=4).collect()
+    by_vid = {}
+    for r in got:
+        by_vid.setdefault(r["vid"], []).append(r["frame_idx"])
+    assert by_vid[1] == [0, 4, 8]
+    assert by_vid[2] == [0]

@@ -98,16 +98,24 @@ def token_hash(tok: Column) -> Column:
     )
 
 
-def minhash_signature(text: Column, k: int = 16) -> Column:
-    """k minhashes: h_i(t) = (a_i * H(t) + b_i) % MOD minimized over tokens.
+def minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine-family coefficients.  The multipliers are LARGE
+    (Knuth multiplicative-hash constants mod MOD) so ``a*h + b`` wraps the
+    modulus — with small multipliers the map is order-preserving over the
+    (small) token-hash range and every hash function would pick the same
+    min token, degenerating the whole signature."""
+    return [
+        ((2654435761 * (i + 1)) % MOD, (2246822519 * (i + 7) + 3) % MOD)
+        for i in range(k)
+    ]
 
-    a_i/b_i are fixed odd constants (deterministic across runs/engines)."""
+
+def minhash_signature(text: Column, k: int = 16) -> Column:
+    """k minhashes: h_i(t) = (a_i * H(t) + b_i) % MOD minimized over tokens."""
     toks = F.array_distinct(tokens(text))
     hs = F.transform(toks, token_hash)
     sigs = []
-    for i in range(k):
-        a = 2 * i + 1
-        b = 7 * i + 3
+    for a, b in minhash_coeffs(k):
         sigs.append(
             F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MOD))
         )

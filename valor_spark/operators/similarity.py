@@ -95,11 +95,12 @@ def _pseudo_plane_sign(vec: Column, plane_idx: int) -> Column:
     return (proj >= 0).cast("int")
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id: n_planes sign bits packed to int."""
+def lsh_bucket(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id: n_planes sign bits packed to int.
+    ``table`` selects an independent plane family (multi-table LSH)."""
     out = F.lit(0)
     for p in range(n_planes):
-        out = out + _pseudo_plane_sign(vec, p) * F.lit(1 << p)
+        out = out + _pseudo_plane_sign(vec, table * 1000 + p) * F.lit(1 << p)
     return out
 
 
@@ -108,21 +109,50 @@ def cosine_topk_lsh(
     queries: DataFrame,
     k: int = 3,
     n_planes: int = 8,
+    n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket are
-    scored.  Recall depends on n_planes; the join is on the bucket key so
-    the corpus shuffles once and each query touches ~N/2^n_planes rows."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), n_planes))
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), n_planes))
+    """Approximate top-k: only corpus vectors sharing an LSH bucket with the
+    query (in ANY of ``n_tables`` independent plane families) are scored.
+    Multiple tables are the standard recall fix for boundary flips — a
+    near-identical pair split by one table's near-zero projection is joined
+    by another table.  Each table's join is on its bucket key; candidates
+    dedupe before scoring, so cost ~ n_tables * N/2^n_planes per query."""
+
+    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vc),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            lsh_bucket(F.col(vc), n_planes, t).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(idc, vc, "tb.table", "tb.bucket")
+
+    q = with_buckets(
+        queries.select(F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")),
+        "query_id",
+        "qv",
+    )
+    c = with_buckets(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
+        ),
+        "neighbor_id",
+        "cv",
+    )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
+        c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

@@ -1,0 +1,101 @@
+"""Structured Streaming validation.
+
+The north_rule is batch-with-checkpoints, but the rule algebra is
+plan-agnostic: every rule is a Column expression, so the same rules attach
+to a streaming DataFrame unchanged.  This module provides:
+
+* :func:`attach_rules` — add verdict + violation columns to any streaming
+  DataFrame (pure select, no state);
+* :func:`validate_stream` — route a stream into valid / violation sinks via
+  ``foreachBatch`` (each micro-batch reuses the batch engine, so violation
+  output is byte-identical to the batch path);
+* :func:`windowed_violation_counts` — watermarked per-window violation
+  metrics (late data handled by the watermark).
+
+Scale notes: rule evaluation stays in the stream's narrow stage (no
+shuffle); only the windowed metrics aggregate state, bounded by the
+watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from valor_spark.functions.errtypes import WRONG
+from valor_spark.functions.rules import Rule
+from valor_spark.plans.engine import VERDICT_PREFIX, validate, violations_array
+
+
+def attach_rules(stream_df: DataFrame, rules: Mapping[str, Rule]) -> DataFrame:
+    """Add one verdict struct per rule + a ``__violations`` array column to a
+    (possibly streaming) DataFrame — a single narrow select."""
+    row = F.struct(*[F.col(c) for c in stream_df.columns])
+    out = stream_df.select(
+        "*", *[rules[n](row).alias(VERDICT_PREFIX + n) for n in rules]
+    )
+    vio = None
+    for n in rules:
+        arr = violations_array(n, rules[n].etype, F.col(VERDICT_PREFIX + n))
+        vio = arr if vio is None else F.concat(vio, arr)
+    wrong_any = None
+    for n in rules:
+        w = F.col(VERDICT_PREFIX + n).getField(WRONG)
+        wrong_any = w if wrong_any is None else (wrong_any | w)
+    return out.withColumn("__violations", vio).withColumn("__wrong", wrong_any)
+
+
+def validate_stream(
+    stream_df: DataFrame,
+    rules: Mapping[str, Rule],
+    key_cols: list[str],
+    on_batch: Callable[[DataFrame, DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Run the batch engine inside ``foreachBatch``: ``on_batch(valid_df,
+    violations_df, batch_id)`` receives exactly what the batch path
+    produces.  Returns the started StreamingQuery."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = validate(batch_df, rules, key_cols=key_cols)
+        on_batch(res.valid(), res.violations(), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_violation_counts(
+    stream_df: DataFrame,
+    rules: Mapping[str, Rule],
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked windowed violation metrics over a stream — late rows
+    beyond the watermark are dropped by Spark's state eviction."""
+    annotated = attach_rules(stream_df, rules)
+    return (
+        annotated.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col("__wrong"), 1).otherwise(0)).alias("invalid_rows"),
+            F.sum(F.size("__violations")).alias("violations"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "rows",
+            "invalid_rows",
+            "violations",
+        )
+    )
