@@ -109,11 +109,20 @@ def run_pipeline_bench(spark) -> dict:
     ).cache()
     baseline.count()
 
+    # run WITH a fresh checkpoint dir — the production (north_rule)
+    # configuration: each stage persists its violations once, so downstream
+    # actions (verdict assembly) read small parquet instead of recomputing
+    # the whole DAG per action
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="valor_bench_ckpt_")
     t0 = time.time()
-    rep = run_pipeline(spark, clips, ref, baseline)
+    rep = run_pipeline(spark, clips, ref, baseline, checkpoint_dir=ckpt)
     n_vio = rep.violations.count()
     rep.shard_verdicts.count()
     wall = time.time() - t0
+    shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "clips": CLIPS_N,
         "violations": n_vio,

@@ -94,12 +94,14 @@ def _decode_snr_udf(
     snrs = np.full(n, np.nan)
     counts = np.zeros(n, dtype=np.int32)
     errors: list[str | None] = [None] * n
-    for k in range(n):
-        sig, err = decode_one(raw.iloc[k], codec.iloc[k])
+    # list iteration, not .iloc — per-element iloc dominates batch runtime
+    for k, (rw, cod, rr) in enumerate(
+        zip(raw.tolist(), codec.tolist(), ref_raw.tolist())
+    ):
+        sig, err = decode_one(rw, cod)
         if err is not None:
             errors[k] = err
             continue
-        rr = ref_raw.iloc[k]
         if rr is None:
             errors[k] = "missing_reference"
             continue
