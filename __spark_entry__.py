@@ -279,6 +279,67 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    all_keys = o.select(F.col("o_custkey").alias("custkey"))
+    big_keys = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return all_keys.exceptAll(big_keys)
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_val_acc_poke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """acc (both-fail accumulates) and poke (test-error-first) on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty_rule = V.adapt(V.field("l_quantity"), V.fail_if(["QtyHigh"], lambda q: q > 45, EA))
+    disc_rule = V.adapt(V.field("l_discount"), V.fail_if(["DiscHigh"], lambda d: d >= 0.08, EA))
+    tax_rule = V.adapt(V.field("l_tax"), V.fail_if(["TaxHigh"], lambda t: t >= 0.07, EA))
+    acc_rule = V.acc(qty_rule, disc_rule)
+    poke_rule = V.poke(tax_rule, V.pass_(EA), qty_rule)
+    res = validate(
+        li,
+        {"acc_demo": acc_rule, "poke_demo": poke_rule},
+        key_cols=["l_orderkey", "l_linenumber"],
+    )
+    a = F.col("__valor_acc_demo")
+    p = F.col("__valor_poke_demo")
+    return res.annotated.filter(a.getField("wrong") | p.getField("wrong")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(";", a.getField("err")).alias("acc_err"),
+        F.concat_ws(";", p.getField("err")).alias("poke_err"),
+    )
+
+
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", SIM.lsh_bucket(SIM._f64(F.col("embedding")), n_planes=6).alias("bucket")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -310,6 +371,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cosine_topk": q_cosine_topk,
+        "events_json": q_events_json,
+        "except_all": q_except_all,
+        "rollup_orders": q_rollup_orders,
+        "val_acc_poke": q_val_acc_poke,
+        "lsh_buckets": q_lsh_buckets,
     }
 
 
@@ -580,6 +646,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_docs": _sql_simhash(32),
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
+        "events_json": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG((props->>'$.k')::INT), 4) AS avg_k,
+                   MAX((props->>'$.k')::INT) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "except_all": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT ALL
+            SELECT o_custkey FROM orders WHERE o_totalprice > 200000
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "val_acc_poke": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_quantity > 45 AND l_discount >= 0.08
+                        THEN 'QtyHigh;DiscHigh' ELSE '' END AS acc_err,
+                   CASE WHEN l_quantity > 45 AND l_tax >= 0.07
+                        THEN 'QtyHigh;TaxHigh' ELSE '' END AS poke_err
+            FROM lineitem
+            WHERE (l_quantity > 45 AND l_discount >= 0.08)
+               OR (l_quantity > 45 AND l_tax >= 0.07)
+        """,
+        "lsh_buckets": f"""
+            SELECT vec_id,
+                   {" + ".join(
+                       f"(CASE WHEN list_aggregate(list_transform(embedding::DOUBLE[], "
+                       f"(x, i) -> x * sin({p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                       f"THEN {1 << p} ELSE 0 END)"
+                       for p in range(6)
+                   )} AS bucket
+            FROM embeddings
+        """,
         "cosine_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

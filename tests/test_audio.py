@@ -132,9 +132,7 @@ def test_transcript_mismatch_detected(invariant, oracle):
     }
     got = {
         r["clip_id"]
-        for r in invariant.filter(
-            ~F.col("transcript").eqNullSafe(F.col("transcript_ref"))
-        ).collect()
+        for r in invariant.filter(~F.col("transcript_ok")).collect()
     }
     assert got == expected
 

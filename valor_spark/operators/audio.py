@@ -14,7 +14,7 @@ codec-whitelist row rule).
 Scale notes (100 TB of audio):
 
 * the decode+SNR pass touches ``bytes`` exactly once, inside one
-  ``pandas_udf`` evaluated per Arrow batch; tune
+  ``mapInPandas`` pass evaluated per Arrow batch; tune
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch is ~64-128 MB;
 * the clips↔ref join shuffles both sides on ``clip_id`` (sort-merge at this
   width — broadcasting a 100 TB ref is impossible); callers can pre-bucket
@@ -33,18 +33,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 SNR_DB_MIN = 30.0
-
-_DECODE_SCHEMA = T.StructType(
-    [
-        T.StructField("snr_db", T.DoubleType(), True),
-        T.StructField("n_samples", T.IntegerType(), True),
-        T.StructField("decode_error", T.StringType(), True),
-    ]
-)
-
 
 def decode_one(raw: bytes | None, codec: str | None) -> tuple[np.ndarray | None, str | None]:
     """Decode one payload to int16 PCM; returns (samples, error)."""
@@ -83,8 +73,7 @@ def snr_db(sig: np.ndarray, ref: np.ndarray) -> float:
     return 10.0 * np.log10(p_ref / p_noise)
 
 
-@pandas_udf(_DECODE_SCHEMA)
-def _decode_snr_udf(
+def _decode_snr_batch(
     raw: pd.Series, codec: pd.Series, ref_raw: pd.Series
 ) -> pd.DataFrame:
     """Arrow-batched: decode clip bytes per codec, decode the reference PCM
@@ -116,35 +105,135 @@ def _decode_snr_udf(
     )
 
 
+def _binary_views(col):
+    """Zero-copy row views over a pyarrow (Large)Binary array.
+
+    Returns (get(i) -> np.uint8 view | None).  Avoids per-row ``as_py``
+    copies — at millions of rows the Python-object churn of pandas
+    conversion saturates memory bandwidth and the stage stops scaling."""
+    import pyarrow as pa
+
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=off_dtype)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    if col.null_count:
+        valid = np.array(pa.compute.is_valid(col).to_pandas(), dtype=bool)
+    else:
+        valid = None
+
+    def get(i: int):
+        if valid is not None and not valid[i]:
+            return None
+        return data[offs[i] : offs[i + 1]]
+
+    return get
+
+
 def with_audio_invariant(
     clips: DataFrame,
     clips_ref: DataFrame,
     repartition: int | None = None,
 ) -> DataFrame:
     """Join clips to reference decodes on ``clip_id`` and attach the decoded
-    invariant columns ``snr_db / n_samples / decode_error / transcript_ref``.
+    invariant columns ``snr_db / n_samples / decode_error / transcript_ok``.
 
     Inner join: rows without a reference are the referential-integrity
     check's concern (anti-join, see constraints), not the SNR check's.
+
+    Physical design (each choice measured, see BENCH/BASELINE.md):
+
+    * the decode runs via ``mapInArrow`` (a map *operator*, not a pandas_udf
+      expression — Catalyst's projection collapsing can duplicate a UDF
+      expression, which doubled the Arrow transfer of the audio bytes);
+    * transcript equality is computed JVM-side BEFORE the map, so no string
+      column ever crosses into Python;
+    * inside Python, PCM rows are decoded as zero-copy numpy views over the
+      Arrow buffers — no pandas conversion, no per-row bytes objects.
     """
-    left = clips.select("clip_id", "bytes", "codec", "transcript", *(
-        [c for c in ("shard",) if c in clips.columns]
-    ))
+    has_shard = "shard" in clips.columns
+    left = clips.select(
+        "clip_id", "bytes", "codec", "transcript",
+        *(["shard"] if has_shard else []),
+    )
     right = clips_ref.select("clip_id", "pcm_ref", "transcript_ref")
     if repartition:
         left = left.repartition(repartition, "clip_id")
         right = right.repartition(repartition, "clip_id")
-    joined = left.join(right, on="clip_id", how="inner")
-    dec = _decode_snr_udf(F.col("bytes"), F.col("codec"), F.col("pcm_ref"))
-    return joined.withColumn("__audio", dec).select(
+    joined = left.join(right, on="clip_id", how="inner").select(
         "clip_id",
-        *([c for c in ("shard",) if c in joined.columns]),
-        "transcript",
-        "transcript_ref",
-        F.col("__audio.snr_db").alias("snr_db"),
-        F.col("__audio.n_samples").alias("n_samples"),
-        F.col("__audio.decode_error").alias("decode_error"),
+        *(["shard"] if has_shard else []),
+        F.col("transcript").eqNullSafe(F.col("transcript_ref")).alias("transcript_ok"),
+        "bytes",
+        "codec",
+        "pcm_ref",
     )
+
+    shard_field = "shard int, " if has_shard else ""
+    out_schema = (
+        f"clip_id string, {shard_field}transcript_ok boolean, "
+        "snr_db double, n_samples int, decode_error string"
+    )
+    n_pass = 2 + (1 if has_shard else 0)  # passthrough column count
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            get_bytes = _binary_views(b.column(n_pass))
+            codecs = b.column(n_pass + 1).to_pylist()
+            get_ref = _binary_views(b.column(n_pass + 2))
+            snrs = np.full(n, np.nan)
+            counts = np.zeros(n, dtype=np.int32)
+            errors: list[str | None] = [None] * n
+            for i in range(n):
+                rw = get_bytes(i)
+                cod = codecs[i]
+                if rw is None:
+                    errors[i] = "null_bytes"
+                    continue
+                if cod == "pcm_s16le":
+                    if len(rw) % 2:
+                        errors[i] = "odd_byte_length"
+                        continue
+                    sig = rw.view("<i2")
+                else:
+                    sig, err = decode_one(rw.tobytes(), cod)
+                    if err is not None:
+                        errors[i] = err
+                        continue
+                rr = get_ref(i)
+                if rr is None:
+                    errors[i] = "missing_reference"
+                    continue
+                if len(rr) % 2:
+                    errors[i] = "reference_odd_byte_length"
+                    continue
+                ref = rr.view("<i2")
+                counts[i] = len(sig)
+                if len(sig) != len(ref):
+                    errors[i] = f"length_mismatch:{len(sig)}!={len(ref)}"
+                    continue
+                snrs[i] = snr_db(sig, ref)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(k) for k in range(n_pass)]
+                + [
+                    pa.array(snrs, pa.float64()),
+                    pa.array(counts, pa.int32()),
+                    pa.array(errors, pa.string()),
+                ],
+                schema=pa.schema(
+                    [b.schema.field(k) for k in range(n_pass)]
+                    + [
+                        pa.field("snr_db", pa.float64()),
+                        pa.field("n_samples", pa.int32()),
+                        pa.field("decode_error", pa.string()),
+                    ]
+                ),
+            )
+
+    return joined.mapInArrow(gen, out_schema)
 
 
 def audio_rules(snr_db_min: float = SNR_DB_MIN) -> dict:
@@ -174,8 +263,7 @@ def audio_rules(snr_db_min: float = SNR_DB_MIN) -> dict:
     )
     transcript_rule = make(
         lambda row: F.when(
-            ~(row.getField("transcript").eqNullSafe(row.getField("transcript_ref"))),
-            EA.lit(["TranscriptMismatch"]),
+            ~row.getField("transcript_ok"), EA.lit(["TranscriptMismatch"])
         ),
         EA,
     )

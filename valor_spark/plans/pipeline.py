@@ -130,8 +130,17 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     snr_db_min: float = 30.0,
     audio_repartition: int | None = None,
+    scan_bytes_in_row_rules: bool | None = None,
 ) -> PipelineReport:
+    """``scan_bytes_in_row_rules``: the ``bytes_present`` row rule forces the
+    row-rule stage to scan the (dominant) binary column.  When the audio
+    stage runs, empty/null payloads already surface there as decode errors,
+    so by default the row-rule scan PRUNES bytes entirely (metadata-only
+    columnar read) — at 100 TB that's the difference between a KB-scale and
+    a PB-scale stage input."""
     report = PipelineReport()
+    if scan_bytes_in_row_rules is None:
+        scan_bytes_in_row_rules = clips_ref is None or "pcm_ref" not in clips_ref.columns
     manifest = RunManifest(checkpoint_dir) if checkpoint_dir else None
     vio_frames: list[DataFrame] = []
     empty_vio = spark.createDataFrame([], C.VIOLATION_SCHEMA)
@@ -170,9 +179,13 @@ def run_pipeline(
         report.skipped[stage] = sorted(done)
         vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
     else:
+        rules = clips_row_rules()
+        if not scan_bytes_in_row_rules:
+            del rules["bytes_present"]
+            todo = todo.drop("bytes")
         res = validate(
             todo,
-            rules=clips_row_rules(),
+            rules=rules,
             key_cols=["clip_id"],
             shard_col="shard" if has_shard else None,
         )
