@@ -340,6 +340,24 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -376,6 +394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "val_acc_poke": q_val_acc_poke,
         "lsh_buckets": q_lsh_buckets,
+        "orders_by_month": q_orders_by_month,
+        "cube_orders": q_cube_orders,
     }
 
 
@@ -646,6 +666,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_docs": _sql_simhash(32),
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
+        "orders_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
+                   ROUND(SUM(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1
+        """,
+        "cube_orders": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
         "events_json": """
             SELECT event_type, COUNT(*) AS n,
                    ROUND(AVG((props->>'$.k')::INT), 4) AS avg_k,

@@ -102,6 +102,53 @@ def test_checkpoint_resume_skips_completed(spark, tables, tmp_path_factory):
     assert v1 == v2
 
 
+def test_fingerprint_invalidation_recomputes_changed_shard(
+    spark, tables, tmp_path_factory
+):
+    """Lineage check: if a shard's input changes after checkpointing, resume
+    must recompute THAT shard (and only it), replacing its violations."""
+    clips, _, _ = tables
+    ckpt = str(tmp_path_factory.mktemp("ckpt_fp"))
+    rep1 = run_pipeline(spark, clips, None, checkpoint_dir=ckpt)
+    rep1.violations.count()
+
+    # mutate shard 3: blank every transcript -> new fingerprint? transcript
+    # isn't in the fingerprint (clip_id is) — so ALSO change clip_ids
+    mutated = clips.withColumn(
+        "clip_id",
+        F.when(F.col("shard") == 3, F.concat(F.col("clip_id"), F.lit("_x")))
+        .otherwise(F.col("clip_id")),
+    ).withColumn(
+        "transcript",
+        F.when(F.col("shard") == 3, F.lit("")).otherwise(F.col("transcript")),
+    )
+    rep2 = run_pipeline(spark, mutated, None, checkpoint_dir=ckpt)
+    # shard 3 recomputed, the others skipped
+    assert sorted(rep2.skipped["row_rules"]) == [0, 1, 2, 4, 5, 6, 7]
+    vio2 = rep2.violations
+    n_shard3_empty = vio2.filter(
+        (F.col("shard") == 3) & (F.col("error") == "TranscriptEmpty")
+    ).count()
+    rows_shard3 = mutated.filter(F.col("shard") == 3).count()
+    assert n_shard3_empty == rows_shard3  # every shard-3 transcript now empty
+    # and no duplicated rows for shard 3 (dynamic overwrite, not append)
+    from valor_spark.plans.checkpoint import RunManifest
+
+    stage_rows = spark.read.parquet(
+        RunManifest(ckpt).violations_path("row_rules")
+    )
+    # the planted hot key legitimately repeats within a shard; any OTHER
+    # duplicated violation row would mean append-instead-of-overwrite
+    dup_check = (
+        stage_rows.filter(~F.col("clip_id").startswith("clip_hotkey"))
+        .groupBy("clip_id", "shard", "rule", "error")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_check == 0
+
+
 def test_checkpoint_manifest_has_lineage(spark, tables, tmp_path_factory):
     clips, _, _ = tables
     ckpt = str(tmp_path_factory.mktemp("ckpt2"))

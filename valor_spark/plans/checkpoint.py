@@ -66,6 +66,15 @@ class RunManifest:
     def completed_shards(self, stage: str) -> set[int]:
         return {r.shard for r in self.records() if r.stage == stage}
 
+    def shard_fingerprints(self, stage: str) -> dict[int, int]:
+        """Latest recorded input fingerprint per shard (last record wins —
+        a recomputed shard appends a fresh record)."""
+        out: dict[int, int] = {}
+        for r in self.records():
+            if r.stage == stage:
+                out[r.shard] = r.fingerprint
+        return out
+
     def stage_done(self, stage: str) -> bool:
         return GLOBAL_SHARD in self.completed_shards(stage)
 
@@ -81,8 +90,25 @@ class RunManifest:
     def violations_path(self, stage: str) -> str:
         return os.path.join(self.run_dir, "violations", f"stage={stage}")
 
-    def write_violations(self, stage: str, df: DataFrame) -> None:
-        df.write.mode("append").parquet(self.violations_path(stage))
+    def write_violations(
+        self, stage: str, df: DataFrame, partition_by: str | None = None
+    ) -> None:
+        """Persist a stage's violation rows.
+
+        With ``partition_by`` (shard-local stages): dynamic partition
+        overwrite — a recomputed shard replaces ONLY its own partition, so
+        fingerprint-invalidated shards don't duplicate rows.  Global stages
+        overwrite the whole stage directory."""
+        w = df.write
+        if partition_by:
+            w = (
+                w.partitionBy(partition_by)
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+            )
+        else:
+            w = w.mode("overwrite")
+        w.parquet(self.violations_path(stage))
 
     def mark_global(self, stage: str, rows: int, violations: int, wall_s: float) -> None:
         self.append(

@@ -100,9 +100,11 @@ class PipelineReport:
     skipped: dict = dc_field(default_factory=dict)
 
 
-def _per_shard_metrics(vio: DataFrame, input_by_shard: DataFrame, stage: str) -> list[ShardRecord]:
-    """Join per-shard violation counts onto per-shard row counts+fingerprints."""
-    counts = {r["shard"]: r for r in input_by_shard.collect()}
+def _per_shard_metrics(
+    vio: DataFrame, shard_stats: dict, stage: str
+) -> list[ShardRecord]:
+    """Per-shard metric records: (rows, fingerprint) from the input stats,
+    violation counts from the stage output."""
     vio_counts = {
         r["shard"]: r["n"]
         for r in vio.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -112,13 +114,13 @@ def _per_shard_metrics(vio: DataFrame, input_by_shard: DataFrame, stage: str) ->
         ShardRecord(
             stage=stage,
             shard=int(s) if s is not None else GLOBAL_SHARD,
-            rows=int(rec["rows"]),
+            rows=rows,
             violations=int(vio_counts.get(s, 0)),
             wall_s=0.0,
-            fingerprint=int(rec["fingerprint"]),
+            fingerprint=fp,
             finished_at=now,
         )
-        for s, rec in counts.items()
+        for s, (rows, fp) in shard_stats.items()
     ]
 
 
@@ -170,15 +172,25 @@ def run_pipeline(
         )
     report.stage_wall_s["schema"] = time.time() - t0
 
-    # ---- stage 1: row rules (resume: skip completed shards) --------------
+    # ---- stage 1: row rules (resume: skip shards whose recorded input
+    # fingerprint still matches; changed shards recompute and their
+    # violations partition is dynamically overwritten) --------------------
     t0 = time.time()
     stage = "row_rules"
-    done = manifest.completed_shards(stage) if manifest else set()
-    todo = clips.filter(~shard_col.isin([int(s) for s in done])) if done else clips
-    if manifest and done and todo.rdd.isEmpty():
+    done: set[int] = set()
+    shard_stats: dict[int, tuple[int, int]] = {}
+    if manifest:
+        shard_stats = {
+            int(r["shard"]): (int(r["rows"]), int(r["fingerprint"]))
+            for r in shards_fp.collect()
+        }
+        recorded = manifest.shard_fingerprints(stage)
+        done = {s for s, (_, fp) in shard_stats.items() if recorded.get(s) == fp}
+    if manifest and done and len(done) == len(shard_stats):
         report.skipped[stage] = sorted(done)
         vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
     else:
+        todo = clips.filter(~shard_col.isin([int(s) for s in done])) if done else clips
         rules = clips_row_rules()
         if not scan_bytes_in_row_rules:
             del rules["bytes_present"]
@@ -197,11 +209,9 @@ def run_pipeline(
             "error",
         )
         if manifest:
-            manifest.write_violations(stage, vio)
-            todo_fp = shards_fp if not done else shards_fp.filter(
-                ~F.col("shard").isin([int(s) for s in done])
-            )
-            manifest.append(_per_shard_metrics(vio, todo_fp, stage))
+            manifest.write_violations(stage, vio, partition_by="shard")
+            todo_stats = {s: v for s, v in shard_stats.items() if s not in done}
+            manifest.append(_per_shard_metrics(vio, todo_stats, stage))
             vio = spark.read.parquet(manifest.violations_path(stage))
         vio_frames.append(vio)
         report.skipped[stage] = sorted(done)
