@@ -81,6 +81,7 @@ def make_spark(master: str, shuffle_partitions: int | None = None):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # Arrow-UDF stages need ~2 CPU threads per task (JVM serializer +
         # python worker); without this, local[N] oversubscribes and the
         # python stages ANTI-scale (measured: audio pass 8.5s@local[8] vs
