@@ -37,19 +37,43 @@ def oracle():
 
 def test_decode_one_unit():
     pcm = np.arange(-4, 4, dtype="<i2")
-    sig, err = A.decode_one(pcm.tobytes(), "pcm_s16le")
-    assert err is None and np.array_equal(sig, pcm)
+    sig, rate, err = A.decode_one(pcm.tobytes(), "pcm_s16le")
+    assert err is None and rate is None and np.array_equal(sig, pcm)
     wav = S.wrap_wav(pcm, 8000)
-    sig, err = A.decode_one(wav, "wav")
-    assert err is None and np.array_equal(sig, pcm)
-    _, err = A.decode_one(b"\x00\x01\x02", "pcm_s16le")
+    sig, rate, err = A.decode_one(wav, "wav")
+    assert err is None and rate == 8000 and np.array_equal(sig, pcm)
+    _, _, err = A.decode_one(b"\x00\x01\x02", "pcm_s16le")
     assert err == "odd_byte_length"
-    _, err = A.decode_one(b"whatever", "mp3")
+    _, _, err = A.decode_one(b"whatever", "mp3")
     assert err == "unsupported_codec:mp3"
-    _, err = A.decode_one(b"RIFFgarbage", "wav")
+    _, _, err = A.decode_one(b"RIFFgarbage", "wav")
     assert err and err.startswith("decode_failed")
-    _, err = A.decode_one(None, "wav")
+    _, _, err = A.decode_one(None, "wav")
     assert err == "null_bytes"
+
+
+def test_wav_header_rate_mismatch_flagged(spark):
+    pcm = np.arange(0, 64, dtype="<i2")
+    good = S.wrap_wav(pcm, 16000)
+    bad = S.wrap_wav(pcm, 8000)  # header says 8000, column says 16000
+    clips = spark.createDataFrame(
+        [("c1", good, 16000, 4, "wav", "t", 0), ("c2", bad, 16000, 4, "wav", "t", 0)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string, shard int",
+    )
+    ref = spark.createDataFrame(
+        [("c1", pcm.tobytes(), "t"), ("c2", pcm.tobytes(), "t")],
+        "clip_id string, pcm_ref binary, transcript_ref string",
+    )
+    inv = A.with_audio_invariant(clips, ref)
+    from valor_spark.plans.engine import validate
+
+    res = validate(inv, rules=A.audio_rules(), key_cols=["clip_id"])
+    got = {
+        (r["clip_id"], r["error"])
+        for r in res.violations().collect()
+    }
+    assert got == {("c2", "SampleRateHeaderMismatch:8000!=16000")}
 
 
 def test_snr_db_unit():

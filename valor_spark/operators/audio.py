@@ -14,7 +14,7 @@ codec-whitelist row rule).
 Scale notes (100 TB of audio):
 
 * the decode+SNR pass touches ``bytes`` exactly once, inside one
-  ``mapInPandas`` pass evaluated per Arrow batch; tune
+  ``mapInArrow`` pass evaluated per Arrow batch (zero-copy buffer views); tune
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a batch is ~64-128 MB;
 * the clips↔ref join shuffles both sides on ``clip_id`` (sort-merge at this
   width — broadcasting a 100 TB ref is impossible); callers can pre-bucket
@@ -29,31 +29,34 @@ import io
 import wave
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SNR_DB_MIN = 30.0
 
-def decode_one(raw: bytes | None, codec: str | None) -> tuple[np.ndarray | None, str | None]:
-    """Decode one payload to int16 PCM; returns (samples, error)."""
+def decode_one(
+    raw: bytes | None, codec: str | None
+) -> tuple[np.ndarray | None, int | None, str | None]:
+    """Decode one payload to int16 PCM; returns (samples, header_rate, error).
+    ``header_rate`` is the container's sample rate (WAV) or None for raw PCM."""
     if raw is None:
-        return None, "null_bytes"
+        return None, None, "null_bytes"
     try:
         if codec == "pcm_s16le":
             if len(raw) % 2:
-                return None, "odd_byte_length"
-            return np.frombuffer(raw, dtype="<i2"), None
+                return None, None, "odd_byte_length"
+            return np.frombuffer(raw, dtype="<i2"), None, None
         if codec == "wav":
             with wave.open(io.BytesIO(raw), "rb") as w:
                 if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                    return None, "unsupported_wav_layout"
+                    return None, None, "unsupported_wav_layout"
+                rate = w.getframerate()
                 frames = w.readframes(w.getnframes())
-            return np.frombuffer(frames, dtype="<i2"), None
-        return None, f"unsupported_codec:{codec}"
+            return np.frombuffer(frames, dtype="<i2"), rate, None
+        return None, None, f"unsupported_codec:{codec}"
     except Exception as exc:  # malformed container
-        return None, f"decode_failed:{type(exc).__name__}"
+        return None, None, f"decode_failed:{type(exc).__name__}"
 
 
 def snr_db(sig: np.ndarray, ref: np.ndarray) -> float:
@@ -71,38 +74,6 @@ def snr_db(sig: np.ndarray, ref: np.ndarray) -> float:
     if p_ref == 0.0:
         return float("-inf")
     return 10.0 * np.log10(p_ref / p_noise)
-
-
-def _decode_snr_batch(
-    raw: pd.Series, codec: pd.Series, ref_raw: pd.Series
-) -> pd.DataFrame:
-    """Arrow-batched: decode clip bytes per codec, decode the reference PCM
-    (always raw s16le), compute SNR.  numpy math per element inside the
-    batch; data crosses Python<->JVM once per Arrow batch, not per row."""
-    n = len(raw)
-    snrs = np.full(n, np.nan)
-    counts = np.zeros(n, dtype=np.int32)
-    errors: list[str | None] = [None] * n
-    # list iteration, not .iloc — per-element iloc dominates batch runtime
-    for k, (rw, cod, rr) in enumerate(
-        zip(raw.tolist(), codec.tolist(), ref_raw.tolist())
-    ):
-        sig, err = decode_one(rw, cod)
-        if err is not None:
-            errors[k] = err
-            continue
-        if rr is None:
-            errors[k] = "missing_reference"
-            continue
-        ref = np.frombuffer(rr, dtype="<i2")
-        counts[k] = len(sig)
-        if len(sig) != len(ref):
-            errors[k] = f"length_mismatch:{len(sig)}!={len(ref)}"
-            continue
-        snrs[k] = snr_db(sig, ref)
-    return pd.DataFrame(
-        {"snr_db": snrs, "n_samples": counts, "decode_error": errors}
-    )
 
 
 def _binary_views(col):
@@ -153,7 +124,7 @@ def with_audio_invariant(
     """
     has_shard = "shard" in clips.columns
     left = clips.select(
-        "clip_id", "bytes", "codec", "transcript",
+        "clip_id", "bytes", "codec", "transcript", "sr_hz",
         *(["shard"] if has_shard else []),
     )
     right = clips_ref.select("clip_id", "pcm_ref", "transcript_ref")
@@ -164,6 +135,7 @@ def with_audio_invariant(
         "clip_id",
         *(["shard"] if has_shard else []),
         F.col("transcript").eqNullSafe(F.col("transcript_ref")).alias("transcript_ok"),
+        "sr_hz",
         "bytes",
         "codec",
         "pcm_ref",
@@ -171,10 +143,10 @@ def with_audio_invariant(
 
     shard_field = "shard int, " if has_shard else ""
     out_schema = (
-        f"clip_id string, {shard_field}transcript_ok boolean, "
-        "snr_db double, n_samples int, decode_error string"
+        f"clip_id string, {shard_field}transcript_ok boolean, sr_hz int, "
+        "snr_db double, n_samples int, decode_error string, header_sr_hz int"
     )
-    n_pass = 2 + (1 if has_shard else 0)  # passthrough column count
+    n_pass = 3 + (1 if has_shard else 0)  # passthrough column count
 
     def gen(batches):
         import pyarrow as pa
@@ -187,6 +159,7 @@ def with_audio_invariant(
             snrs = np.full(n, np.nan)
             counts = np.zeros(n, dtype=np.int32)
             errors: list[str | None] = [None] * n
+            header_rates: list[int | None] = [None] * n
             for i in range(n):
                 rw = get_bytes(i)
                 cod = codecs[i]
@@ -199,7 +172,8 @@ def with_audio_invariant(
                         continue
                     sig = rw.view("<i2")
                 else:
-                    sig, err = decode_one(rw.tobytes(), cod)
+                    sig, rate, err = decode_one(rw.tobytes(), cod)
+                    header_rates[i] = rate
                     if err is not None:
                         errors[i] = err
                         continue
@@ -222,6 +196,7 @@ def with_audio_invariant(
                     pa.array(snrs, pa.float64()),
                     pa.array(counts, pa.int32()),
                     pa.array(errors, pa.string()),
+                    pa.array(header_rates, pa.int32()),
                 ],
                 schema=pa.schema(
                     [b.schema.field(k) for k in range(n_pass)]
@@ -229,6 +204,7 @@ def with_audio_invariant(
                         pa.field("snr_db", pa.float64()),
                         pa.field("n_samples", pa.int32()),
                         pa.field("decode_error", pa.string()),
+                        pa.field("header_sr_hz", pa.int32()),
                     ]
                 ),
             )
@@ -267,8 +243,25 @@ def audio_rules(snr_db_min: float = SNR_DB_MIN) -> dict:
         ),
         EA,
     )
+    sr_header_rule = make(
+        lambda row: F.when(
+            row.getField("header_sr_hz").isNotNull()
+            & (row.getField("sr_hz") > 0)
+            & (row.getField("header_sr_hz") != row.getField("sr_hz")),
+            F.array(
+                F.concat(
+                    F.lit("SampleRateHeaderMismatch:"),
+                    row.getField("header_sr_hz").cast("string"),
+                    F.lit("!="),
+                    row.getField("sr_hz").cast("string"),
+                )
+            ),
+        ),
+        EA,
+    )
     return {
         "audio_decode": decode_rule,
         "audio_snr": snr_rule,
         "transcript_equal": transcript_rule,
+        "sr_header_consistent": sr_header_rule,
     }
