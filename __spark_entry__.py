@@ -340,6 +340,16 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index token-set Jaccard near-dup pairs (corpus capped: the
+    synthetic texts share a ~31-word vocabulary, so pair counts grow
+    quadratically with corpus size)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    return DD.ngram_jaccard_pairs(d, threshold=0.8, max_token_freq=250)
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
@@ -396,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_buckets": q_lsh_buckets,
         "orders_by_month": q_orders_by_month,
         "cube_orders": q_cube_orders,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -666,6 +677,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_docs": _sql_simhash(32),
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
+        "ngram_jaccard": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+            toks AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct({_SQL_TOKENS.format(col='text')})) AS tok
+              FROM corpus
+            ),
+            freq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+            rare AS (SELECT t.doc, t.tok FROM toks t JOIN freq f ON t.tok = f.tok
+                     WHERE f.df <= 250),
+            sizes AS (SELECT doc, COUNT(*) AS n_tok FROM rare GROUP BY doc),
+            pairs AS (
+              SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS inter
+              FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc < b.doc
+              GROUP BY 1, 2
+            )
+            SELECT p.doc1, p.doc2,
+                   ROUND(p.inter::DOUBLE / (s1.n_tok + s2.n_tok - p.inter), 4) AS jaccard
+            FROM pairs p
+            JOIN sizes s1 ON s1.doc = p.doc1
+            JOIN sizes s2 ON s2.doc = p.doc2
+            WHERE p.inter::DOUBLE / (s1.n_tok + s2.n_tok - p.inter) >= 0.8
+        """,
         "orders_by_month": """
             SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n,
                    ROUND(SUM(o_totalprice), 2) AS total
