@@ -204,3 +204,34 @@ def test_monad_taint(spark):
     cont = lambda e_col: inert(["after"], ET)
     got = run_one(spark, bind(fail_(["before"], ET), [], cont, ET))
     assert got == (True, ["after"])
+
+
+# --- Wrong-value helpers (InternalSpec.hs:113-142 parity) ------------------
+
+def test_wrong_helpers(spark):
+    from valor_spark import fmap_err, is_inert, is_wrong, val_w, wrong_case
+
+    df = spark.createDataFrame(
+        [(False, ["p"]), (True, ["q"])], "w boolean, e array<string>"
+    )
+    v = Rule(lambda col: mk(col.getField("w"), col.getField("e"), ET), ET)
+    row = F.struct(F.col("w"), F.col("e"))
+    out = df.select(
+        val_w(v(row)).alias("payload"),          # valW: payload regardless of tag
+        is_inert(v(row)).alias("inert"),
+        is_wrong(v(row)).alias("wrong"),
+        wrong_case(
+            v(row),
+            on_wrong=lambda e: F.concat(F.lit("W:"), F.concat_ws(",", e)),
+            on_inert=lambda e: F.concat(F.lit("I:"), F.concat_ws(",", e)),
+        ).alias("cased"),
+        fmap_err(v, lambda e: F.transform(e, lambda x: F.upper(x)))(row).alias("mapped"),
+    ).collect()
+    a, b = out
+    assert list(a.payload) == ["p"] and list(b.payload) == ["q"]
+    assert (a.inert, a.wrong) == (True, False)
+    assert (b.inert, b.wrong) == (False, True)
+    assert a.cased == "I:p" and b.cased == "W:q"
+    # Functor keeps the tag, maps the payload (Internal.hs:128-130)
+    assert (a.mapped.wrong, list(a.mapped.err)) == (False, ["P"])
+    assert (b.mapped.wrong, list(b.mapped.err)) == (True, ["Q"])

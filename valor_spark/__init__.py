@@ -31,7 +31,10 @@ from valor_spark.functions.rules import (
     fail_col,
     fail_if,
     field,
+    fmap_err,
     inert,
+    is_inert,
+    is_wrong,
     make,
     mk,
     nerf,
@@ -42,13 +45,16 @@ from valor_spark.functions.rules import (
     poke,
     record,
     test,
+    val_w,
+    wrong_case,
 )
 
 __all__ = [
     "EArray", "EArrayOf", "ENullable", "ERecord", "EString", "ErrType", "strings",
     "Rule", "acc", "adapt", "alt", "bind", "check1", "checkN", "con", "conN",
-    "fail_", "fail_col", "fail_if", "field", "inert", "make", "mk", "nerf", "pass_",
-    "pass_if", "peek", "peer", "poke", "record", "test",
+    "fail_", "fail_col", "fail_if", "field", "fmap_err", "inert", "is_inert",
+    "is_wrong", "make", "mk", "nerf", "pass_", "pass_if", "peek", "peer",
+    "poke", "record", "test", "val_w", "wrong_case",
 ]
 
 __version__ = "0.1.0"

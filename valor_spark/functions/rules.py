@@ -378,6 +378,45 @@ def bind(
 
 
 # ---------------------------------------------------------------------------
+# Wrong-value helpers (int/Data/Valor/Internal.hs:128-208 parity)
+# ---------------------------------------------------------------------------
+
+def val_w(verdict: Column) -> Column:
+    """``valW`` (Internal.hs:184-186): extract the payload regardless of tag."""
+    return verdict.getField(ERR)
+
+
+def is_inert(verdict: Column) -> Column:
+    """``isInert`` (Internal.hs:199-201)."""
+    return ~verdict.getField(WRONG)
+
+
+def is_wrong(verdict: Column) -> Column:
+    """``isWrong`` (Internal.hs:206-208)."""
+    return verdict.getField(WRONG)
+
+
+def wrong_case(verdict: Column, on_wrong, on_inert) -> Column:
+    """``wrong`` (Internal.hs:192-194): case analysis on the tag; each branch
+    receives the payload Column."""
+    e = verdict.getField(ERR)
+    return F.when(verdict.getField(WRONG), on_wrong(e)).otherwise(on_inert(e))
+
+
+def fmap_err(rule: Rule, fn: Callable[[Column], Column], etype: ErrType | None = None) -> Rule:
+    """Functor ``fmap`` over the payload (Internal.hs:128-130): transform the
+    error value, keeping the tag.  ``etype`` names the output payload type
+    when ``fn`` changes it (defaults to the input's)."""
+    et = etype or rule.etype
+
+    def f(col: Column) -> Column:
+        r = rule(col)
+        return mk(r.getField(WRONG), fn(r.getField(ERR)), et)
+
+    return Rule(f, et)
+
+
+# ---------------------------------------------------------------------------
 # running rules (validateP equivalent for single columns; the full-table
 # engine lives in valor_spark.plans.engine)
 # ---------------------------------------------------------------------------
