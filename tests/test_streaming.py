@@ -92,3 +92,43 @@ def test_windowed_counts(spark, tmp_path_factory):
     for r in got:
         assert r["invalid_rows"] <= r["rows"]
         assert r["violations"] == r["invalid_rows"]  # one rule, one error each
+
+
+def test_streaming_duplicate_detection_across_batches(spark, tmp_path_factory):
+    """applyInPandasWithState keeps per-key counts across micro-batches:
+    a clip_id first seen in batch 1 and again in batch 2 must be flagged."""
+    from valor_spark.streaming.validate_stream import streaming_duplicate_clips
+
+    src = str(tmp_path_factory.mktemp("dupsrc"))
+    ckpt = str(tmp_path_factory.mktemp("dupckpt"))
+    # two files -> maxFilesPerTrigger=1 -> two micro-batches
+    spark.createDataFrame(
+        [("a",), ("b",), ("b",)], "clip_id string"
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [("a",), ("c",)], "clip_id string"
+    ).coalesce(1).write.parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("clip_id string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_duplicate_clips(stream)
+        .writeStream.format("memory")
+        .queryName("dups")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["clip_id"], r["n_seen"], r["error"])
+        for r in spark.sql("select * from dups").collect()
+    }
+    # 'b' duplicated within one batch; 'a' duplicated ACROSS batches
+    assert ("b", 2, "DuplicateKey:n=2") in rows
+    assert ("a", 2, "DuplicateKey:n=2") in rows
+    assert not any(r[0] == "c" for r in rows)

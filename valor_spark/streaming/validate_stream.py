@@ -73,6 +73,59 @@ def validate_stream(
     return writer.start()
 
 
+def streaming_duplicate_clips(
+    stream_df: DataFrame,
+    key_col: str = "clip_id",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Cross-micro-batch uniqueness: a custom stateful operator via
+    ``applyInPandasWithState`` (the batch engine's groupBy-count can't see
+    across triggers).  State per key = occurrences seen so far; every
+    occurrence AFTER the first emits a violation row
+    ``(clip_id, n_seen, rule, error)``.
+
+    Scale notes: state is one long per distinct key, partitioned by the
+    grouping key; pair with a state-TTL timeout in production so the store
+    is bounded by the dedup window rather than all-time cardinality."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, n_seen long, rule string, error string"
+    state_schema = "n long"
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        batch = 0
+        for pdf in pdfs:
+            batch += len(pdf)
+        total = seen + batch
+        state.update((total,))
+        # first-ever occurrence is fine; everything beyond 1 is a duplicate
+        n_dups = total - max(1, seen) if seen else total - 1
+        if n_dups > 0:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "n_seen": [total],
+                    "rule": ["streaming_uniqueness"],
+                    "error": [f"DuplicateKey:n={total}"],
+                }
+            )
+
+    return (
+        stream_df.select(key_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=getattr(GroupStateTimeout, timeout),
+        )
+    )
+
+
 def windowed_violation_counts(
     stream_df: DataFrame,
     rules: Mapping[str, Rule],
