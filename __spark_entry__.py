@@ -350,6 +350,20 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(d, threshold=0.8, max_token_freq=250)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (LSH-bucketed): corpus + scaled copies of
+    the first 10 vectors (cosine exactly 1.0 with their originals — random
+    64-d vectors have no natural near-dups)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    return DD.embedding_near_dup_pairs(
+        emb.unionByName(planted), threshold=0.999, n_planes=6, n_tables=2
+    )
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return (
@@ -407,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         "cube_orders": q_cube_orders,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
     }
 
 
@@ -677,6 +692,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_docs": _sql_simhash(32),
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
+        "embedding_near_dup": f"""
+            WITH corpus AS (
+              SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(embedding::DOUBLE[], x -> x * 1.5)
+              FROM embeddings WHERE vec_id < 10
+            ),
+            banded AS (
+              {" UNION ALL ".join(
+                  "SELECT vid, v, " + str(t) + " AS tbl, "
+                  + " + ".join(
+                      f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
+                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"THEN {1 << p} ELSE 0 END)"
+                      for p in range(6)
+                  )
+                  + " AS bucket FROM corpus"
+                  for t in range(2)
+              )}
+            ),
+            cand AS (
+              SELECT DISTINCT a.vid AS id1, b.vid AS id2
+              FROM banded a JOIN banded b
+                ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vid < b.vid
+            )
+            SELECT c.id1, c.id2,
+                   ROUND(list_cosine_similarity(x.v, y.v), 6) AS cosine
+            FROM cand c
+            JOIN corpus x ON x.vid = c.id1
+            JOIN corpus y ON y.vid = c.id2
+            WHERE ROUND(list_cosine_similarity(x.v, y.v), 6) >= 0.999
+        """,
         "ngram_jaccard": f"""
             WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
             toks AS (

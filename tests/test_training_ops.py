@@ -150,3 +150,24 @@ def test_frame_sample_plan(spark):
         by_vid.setdefault(r["vid"], []).append(r["frame_idx"])
     assert by_vid[1] == [0, 4, 8]
     assert by_vid[2] == [0]
+
+
+def test_embedding_near_dup_pairs(emb, spark):
+    from pyspark.sql import functions as F
+
+    planted = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(999).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    pairs = {
+        (r["id1"], r["id2"]): r["cosine"]
+        for r in DD.embedding_near_dup_pairs(
+            emb.unionByName(planted), threshold=0.99, n_planes=4, n_tables=2
+        ).collect()
+    }
+    # vec 1 is vec 0 + tiny noise (cos ~0.9999); vec 999 is 2x vec 0 (cos 1.0)
+    assert (0, 999) in pairs and pairs[(0, 999)] >= 0.999999
+    assert (0, 1) in pairs
+    assert (1, 999) in pairs
+    # random 16-d vectors have no other pairs at 0.99
+    assert set(pairs) == {(0, 1), (0, 999), (1, 999)}

@@ -183,6 +183,62 @@ def minhash_lsh_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidates = pairs sharing a random-hyperplane bucket in ANY of
+    ``n_tables`` plane families (deterministic sin-derived planes —
+    engine-neutral, oracle-replicable); verified with exact cosine.
+    Returns (id1, id2, cosine) with cosine >= threshold.
+
+    Scale notes: the self-join is on (table, bucket) — near-linear for
+    spread-out embeddings; exact verification touches only candidates."""
+    from valor_spark.operators.similarity import _f64, cosine, lsh_bucket
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _f64(F.col(vec_col)).alias("v")
+    )
+    banded = base.select(
+        "vid",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket(F.col("v"), n_planes, t).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vid", "v", "tb.table", "tb.bucket")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["table", "bucket"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(
+            F.col("a.vid").alias("id1"),
+            F.col("b.vid").alias("id2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash fingerprint: for each bit, sum +1/-1 of token-hash bits; the
     sign vector packs into a long.  32 bits keeps the packing inside long
