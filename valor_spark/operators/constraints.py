@@ -145,15 +145,27 @@ def duplicate_keys(df: DataFrame, key: str, salted: bool = False, n_salts: int =
     )
 
 
-def uniqueness_violations(df: DataFrame, key: str = "clip_id", salted: bool = False, n_salts: int = 16) -> DataFrame:
+def uniqueness_violations(
+    df: DataFrame,
+    key: str = "clip_id",
+    salted: bool = False,
+    n_salts: int = 16,
+    join_hint: str = "broadcast",
+) -> DataFrame:
     """Violation rows for every row whose key is duplicated.
 
-    The duplicate-key set (tiny relative to the table) is broadcast back and
-    joined to tag offending rows — the big table is never shuffled."""
+    ``join_hint='broadcast'`` (default): the duplicate-key set is broadcast
+    back and joined to tag offending rows — the big table never shuffles.
+    Correct when duplicates are RARE.  At 10^12 rows even a 0.1% duplicate
+    rate yields ~10^9 keys — far past broadcast limits — so pass
+    ``join_hint='auto'`` to let AQE pick the strategy from the measured
+    size (it still broadcasts small dup sets at runtime)."""
     dups = duplicate_keys(df, key, salted=salted, n_salts=n_salts)
+    if join_hint == "broadcast":
+        dups = F.broadcast(dups)
     shard = F.col("shard").cast("int") if "shard" in df.columns else F.lit(None).cast("int")
     return (
-        df.join(F.broadcast(dups), on=key, how="inner")
+        df.join(dups, on=key, how="inner")
         .select(
             F.col(key).alias("clip_id"),
             shard.alias("shard"),

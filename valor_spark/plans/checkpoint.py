@@ -11,10 +11,16 @@ directory holds:
   checkpoint and recompute it.
 * ``violations/stage=<name>/`` — violation rows parquet, written per stage.
 
-Resume contract: shard-local stages (row rules, audio) skip shards already
-in the manifest by filtering the scan — at production scale that filter
-prunes Iceberg partitions.  Whole-table stages (uniqueness, referential,
-drift) are global and resume at stage granularity (shard = -1).
+Resume contract: shard-local stages (row rules, audio) skip shards whose
+recorded fingerprint still matches by filtering the scan — at production
+scale that filter prunes Iceberg partitions.  Whole-table stages
+(uniqueness, referential, drift) are global and resume at stage granularity
+(shard = -1).
+
+Deployment note: the run directory must be a filesystem every retry of the
+DRIVER can reach (HDFS/S3/DBFS mount on a cluster; local disk suffices in
+local mode).  Executors never touch the manifest — only violation parquet
+goes through Spark writers.
 """
 
 from __future__ import annotations
