@@ -214,7 +214,7 @@ def with_audio_invariant(
 
 def audio_rules(snr_db_min: float = SNR_DB_MIN) -> dict:
     """Row rules over the invariant columns (pure Valor combinators)."""
-    from valor_spark import EArray, conN, fail_col, make, fail_if, adapt, field
+    from valor_spark import EArray, make
 
     EA = EArray()
     decode_rule = make(

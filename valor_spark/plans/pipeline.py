@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from valor_spark import EArray, adapt, conN, fail_if, field, make
+from valor_spark import EArray, adapt, conN, field, make
 from valor_spark.operators import constraints as C
 from valor_spark.operators import drift as D
 from valor_spark.operators.audio import audio_rules, with_audio_invariant
