@@ -350,6 +350,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(d, threshold=0.8, max_token_freq=250)
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.top_bigrams(_t(spark, sf_dir, "documents"), k=20)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup (LSH-bucketed): corpus + scaled copies of
     the first 10 vectors (cosine exactly 1.0 with their originals — random
@@ -422,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_orders": q_cube_orders,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
+        "top_bigrams": q_top_bigrams,
     }
 
 
@@ -692,6 +697,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_docs": _sql_simhash(32),
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
+        "top_bigrams": f"""
+            WITH toks AS (
+              SELECT {_SQL_TOKENS.format(col='text')} AS t FROM documents
+            ),
+            bg AS (
+              SELECT unnest(
+                CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])
+                END) AS bigram
+              FROM toks
+            ),
+            counts AS (SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram)
+            SELECT bigram, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rank
+            FROM counts QUALIFY rank <= 20
+        """,
         "embedding_near_dup": f"""
             WITH corpus AS (
               SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings

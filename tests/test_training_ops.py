@@ -171,3 +171,49 @@ def test_embedding_near_dup_pairs(emb, spark):
     assert (1, 999) in pairs
     # random 16-d vectors have no other pairs at 0.99
     assert set(pairs) == {(0, 1), (0, 999), (1, 999)}
+
+
+def test_cosine_topk_ivf(emb):
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=1).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.cosine_topk_ivf(
+            emb, emb.filter(F.col("vec_id") == 0), k=1, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    # the planted near-identical pair shares a centroid list by construction
+    assert (0, 1) in exact and (0, 1) in ivf
+
+
+def test_bigrams_and_top(spark):
+    from valor_spark.operators.text import bigrams, top_bigrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "x")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: list(r["b"]) for r in df.select(
+        "doc_id", bigrams(F.col("text")).alias("b")).collect()}
+    assert got[0] == ["a b", "b c"]
+    assert got[1] == ["a b"]
+    assert got[2] == []
+    top = [(r["bigram"], r["n"], r["rank"]) for r in top_bigrams(df, k=2).collect()]
+    assert top == [("a b", 2, 1), ("b c", 1, 2)]
+
+
+def test_sample_violations(spark):
+    from valor_spark.plans.engine import sample_violations
+
+    rows = [(f"id{i}", "r1" if i % 2 else "r2", "e") for i in range(20)]
+    vio = spark.createDataFrame(rows, "clip_id string, rule string, error string")
+    out = sample_violations(vio, per_rule=3)
+    by_rule = {}
+    for r in out.collect():
+        by_rule.setdefault(r["rule"], []).append(r["clip_id"])
+    assert len(by_rule["r1"]) == 3 and len(by_rule["r2"]) == 3
+    assert by_rule["r1"] == sorted(by_rule["r1"])  # deterministic order

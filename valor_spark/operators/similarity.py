@@ -104,6 +104,77 @@ def lsh_bucket(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
     return out
 
 
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is inverted-list-partitioned
+    by nearest centroid; each query scores only the lists of its ``n_probe``
+    nearest centroids.
+
+    Centroids are a deterministic sample of the corpus (every
+    ``N/n_centroids``-th vector by id order) — a stand-in for k-means that
+    keeps the operator fully reproducible; swap in trained centroids at
+    production scale.  The centroid set is tiny and broadcast; the corpus
+    shuffles once on the list id."""
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
+    )
+    # deterministic centroid sample: rank by id, take every stride-th
+    w_all = Window.orderBy(F.col("neighbor_id"))
+    ranked = c.withColumn("rnk", F.row_number().over(w_all))
+    n_total = ranked.count()
+    stride = max(1, n_total // n_centroids)
+    centroids = (
+        ranked.filter((F.col("rnk") % stride == 1) & (F.col("rnk") <= stride * n_centroids))
+        .select(F.col("rnk").alias("cid"), F.col("cv").alias("centroid"))
+    )
+    cent = [(r["cid"], r["centroid"]) for r in centroids.collect()]
+
+    def nearest_lists(vec: Column, probe: int) -> Column:
+        """ids of the ``probe`` nearest centroids (by cosine) as an array."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cent
+            ]
+        )
+        top = F.slice(F.reverse(F.array_sort(scored)), 1, probe)
+        return F.transform(top, lambda t: t.getField("cid"))
+
+    corpus = c.withColumn("list_id", nearest_lists(F.col("cv"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
+    ).withColumn("probe", nearest_lists(F.col("qv"), n_probe))
+    q = q.select("query_id", "qv", F.explode("probe").alias("list_id"))
+    scored = (
+        corpus.join(F.broadcast(q), on="list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -89,6 +89,36 @@ def fingerprint(col: Column, length: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, length)
 
 
+def bigrams(col: Column) -> Column:
+    """Adjacent token pairs as 'a b' strings (order-preserving).
+    SQL equivalent: list_transform over 1..len-1 with array indexing."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+
+
+def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level top-k bigrams by document frequency (one explode +
+    one aggregation; ties broken by bigram text for determinism)."""
+    from pyspark.sql.window import Window
+
+    exploded = df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+    counts = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("bigram", "n", "rank")
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-select profile: tokens, ratios, language, quality, fingerprint."""
     c = F.col(text_col)

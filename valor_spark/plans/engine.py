@@ -244,6 +244,19 @@ class ValidationResult:
         return self.annotated.groupBy(F.col(self.shard_col).alias("shard")).agg(*aggs)
 
 
+def sample_violations(violations: DataFrame, per_rule: int = 10) -> DataFrame:
+    """Deterministic top-K violation examples per rule (window row_number
+    ordered by key) — the triage view for a run with millions of violations."""
+    from pyspark.sql.window import Window
+
+    order_cols = [c for c in violations.columns if c != "rule"]
+    w = Window.partitionBy("rule").orderBy(*order_cols)
+    return (
+        violations.withColumn("example_rank", F.row_number().over(w))
+        .filter(F.col("example_rank") <= per_rule)
+    )
+
+
 def validate(
     df: DataFrame,
     rules: Mapping[str, Rule],
