@@ -56,6 +56,43 @@ def _ensure_clips_fixture() -> str:
     return CLIPS_FIXTURE
 
 
+APPS_FIXTURE = os.path.join(FIXTURE_DIR, "applications.parquet")
+
+
+def _ensure_apps_fixture() -> str:
+    """Nested-struct tutorial fixture (Application/Participant,
+    /root/reference/lib/Data/Valor.hs:753-781) as parquet readable by both
+    engines."""
+    if not os.path.exists(APPS_FIXTURE):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from valor_spark.examples.tutorial import APPS
+
+        p_type = pa.struct(
+            [("age", pa.int32()), ("name", pa.string()),
+             ("surname", pa.string()), ("email", pa.string())]
+        )
+
+        def p(t):
+            return {"age": t[0], "name": t[1], "surname": t[2], "email": t[3]}
+
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        table = pa.table(
+            {
+                "app_id": pa.array([a[0] for a in APPS], pa.int32()),
+                "team": pa.array([a[1] for a in APPS], pa.string()),
+                "country": pa.array([a[2] for a in APPS], pa.string()),
+                "captain": pa.array([p(a[3]) for a in APPS], p_type),
+                "members": pa.array(
+                    [[p(m) for m in a[4]] for a in APPS], pa.list_(p_type)
+                ),
+            }
+        )
+        pq.write_table(table, APPS_FIXTURE)
+    return APPS_FIXTURE
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -350,6 +387,17 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(d, threshold=0.8, max_token_freq=250)
 
 
+def q_val_applications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference tutorial (nested records + checkN + reader-monad
+    membership) as exploded violation rows — the doctest oracle
+    (Valor.hs:785-792) in the graded gate."""
+    from valor_spark.examples.tutorial import validate_applications
+
+    apps = spark.read.parquet(_ensure_apps_fixture())
+    res = validate_applications(spark, apps)
+    return res.violations().select("app_id", "rule", "path", "error")
+
+
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.top_bigrams(_t(spark, sf_dir, "documents"), k=20)
 
@@ -427,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "top_bigrams": q_top_bigrams,
+        "val_applications": q_val_applications,
     }
 
 
@@ -562,8 +611,51 @@ FROM feats
 """
 
 
+def _sql_applications() -> str:
+    """Replicates the tutorial validators in SQL over the nested parquet:
+    each (path, error) the rule algebra can emit becomes one UNION branch;
+    member-element paths use a lateral 1-based index unnest."""
+    from valor_spark.examples.tutorial import COUNTRIES, TEAMS
+
+    apps = f"read_parquet('{APPS_FIXTURE}')"
+    teams = ", ".join(f"'{t}'" for t in TEAMS)
+    countries = ", ".join(f"'{c}'" for c in COUNTRIES)
+
+    # participant sub-errors: (field, error, predicate template on a struct p)
+    p_errs = [
+        ("ageE", "AgeUnder", "NOT ({p}.age > 18)"),
+        ("ageE", "AgeOver", "{p}.age > 65"),
+        ("nameE", "name can''t be empty", "{p}.name = ''"),
+        ("surnameE", "surname can''t be empty", "{p}.surname = ''"),
+        ("emailE", "EmailEmpty", "{p}.email = ''"),
+        ("emailE", "EmailNoAt", "NOT contains({p}.email, '@')"),
+        ("emailE", "EmailNoDot", "NOT contains({p}.email, '.')"),
+    ]
+    branches = [
+        f"SELECT app_id, '.teamE' AS path, 'TeamEmpty' AS error FROM {apps} WHERE team = ''",
+        f"SELECT app_id, '.teamE', 'TeamShort' FROM {apps} WHERE NOT length(team) > 3",
+        f"SELECT app_id, '.teamE', 'TeamLong' FROM {apps} WHERE length(team) > 50",
+        f"SELECT app_id, '.teamE', 'TeamTaken' FROM {apps} WHERE team IN ({teams})",
+        f"SELECT app_id, '.countryE', 'CountryEmpty' FROM {apps} WHERE country = ''",
+        f"SELECT app_id, '.countryE', 'CountryNotAllowed' FROM {apps} WHERE country NOT IN ({countries})",
+    ]
+    for fld, err, pred in p_errs:
+        branches.append(
+            f"SELECT app_id, '.captainE.{fld}', '{err}' FROM {apps} "
+            f"WHERE {pred.format(p='captain')}"
+        )
+        branches.append(
+            f"SELECT app_id, '.membersE[' || (i - 1)::VARCHAR || '].{fld}', '{err}' "
+            f"FROM {apps}, UNNEST(generate_series(1, len(members))) AS s(i) "
+            f"WHERE {pred.format(p='members[i]')}"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"SELECT app_id, 'application' AS rule, path, error FROM (\n{union}\n)"
+
+
 def oracle_sql() -> dict[str, str]:
     _ensure_clips_fixture()
+    _ensure_apps_fixture()
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
     return {
@@ -697,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_docs": _sql_simhash(32),
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
+        "val_applications": _sql_applications(),
         "top_bigrams": f"""
             WITH toks AS (
               SELECT {_SQL_TOKENS.format(col='text')} AS t FROM documents
