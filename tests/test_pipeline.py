@@ -112,8 +112,9 @@ def test_fingerprint_invalidation_recomputes_changed_shard(
     rep1 = run_pipeline(spark, clips, None, checkpoint_dir=ckpt)
     rep1.violations.count()
 
-    # mutate shard 3: blank every transcript -> new fingerprint? transcript
-    # isn't in the fingerprint (clip_id is) — so ALSO change clip_ids
+    # mutate shard 3: change both the key and a content column (either alone
+    # must invalidate the fingerprint — content-only is covered separately by
+    # test_fingerprint_invalidated_by_content_only_change)
     mutated = clips.withColumn(
         "clip_id",
         F.when(F.col("shard") == 3, F.concat(F.col("clip_id"), F.lit("_x")))
@@ -147,6 +148,87 @@ def test_fingerprint_invalidation_recomputes_changed_shard(
         .count()
     )
     assert dup_check == 0
+
+
+def _clean_clips(spark, n=20, n_shards=2):
+    """A hand-built clips table with ZERO violations (every column valid,
+    non-empty payload, unique ids)."""
+    rows = [
+        (f"clean_{i:04d}", bytearray(b"\x00\x01\x02\x03"), 16000, 500,
+         "pcm_s16le", "hello world", i % n_shards)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string, shard int",
+    )
+
+
+def test_checkpoint_clean_data_runs_and_resumes(spark, tmp_path_factory):
+    """Regression: a checkpointed run over CLEAN data writes an empty
+    violations partition dir; the immediate read-back (and the resume
+    read-back) must not throw UNABLE_TO_INFER_SCHEMA."""
+    clips = _clean_clips(spark)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_clean"))
+    rep1 = run_pipeline(spark, clips, None, checkpoint_dir=ckpt)
+    assert rep1.violations.count() == 0
+    rep2 = run_pipeline(spark, clips, None, checkpoint_dir=ckpt)
+    assert sorted(rep2.skipped["row_rules"]) == [0, 1]
+    assert rep2.violations.count() == 0
+    assert rep2.shard_verdicts.filter(~F.col("passed")).count() == 0
+
+
+def test_resume_clears_stale_violations_when_shard_becomes_clean(
+    spark, tmp_path_factory
+):
+    """Regression: a fingerprint-invalidated shard whose recomputation yields
+    ZERO violations must not serve the previous run's stale rows."""
+    dirty = _clean_clips(spark).withColumn(
+        "transcript",
+        F.when(F.col("shard") == 1, F.lit("")).otherwise(F.col("transcript")),
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_stale"))
+    rep1 = run_pipeline(spark, dirty, None, checkpoint_dir=ckpt)
+    assert rep1.violations.filter(F.col("shard") == 1).count() > 0
+    # fix the data: shard 1 is now clean -> must recompute and come back empty
+    fixed = _clean_clips(spark)
+    rep2 = run_pipeline(spark, fixed, None, checkpoint_dir=ckpt)
+    assert rep2.skipped["row_rules"] == [0]  # shard 0 unchanged, 1 recomputed
+    assert rep2.violations.filter(F.col("shard") == 1).count() == 0
+    assert rep2.violations.count() == 0
+
+
+def test_fingerprint_invalidated_by_content_only_change(spark, tmp_path_factory):
+    """Regression: the resume fingerprint must cover rule-relevant CONTENT
+    columns, not just clip_id — a transcript change with identical keys must
+    recompute the shard."""
+    clips = _clean_clips(spark)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_content"))
+    run_pipeline(spark, clips, None, checkpoint_dir=ckpt)
+    mutated = clips.withColumn(
+        "transcript",
+        F.when(F.col("shard") == 1, F.lit("")).otherwise(F.col("transcript")),
+    )
+    rep = run_pipeline(spark, mutated, None, checkpoint_dir=ckpt)
+    assert rep.skipped["row_rules"] == [0]
+    got = rep.violations.filter(F.col("shard") == 1)
+    assert got.filter(F.col("error") == "TranscriptEmpty").count() == 10
+
+
+def test_fingerprint_invalidated_by_even_duplicate_rows(spark, tmp_path_factory):
+    """Regression: XOR fingerprints self-cancel on an even number of added
+    identical rows — the (rows, fingerprint) pair comparison must still
+    invalidate the shard."""
+    clips = _clean_clips(spark)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_xor"))
+    run_pipeline(spark, clips, None, checkpoint_dir=ckpt)
+    dup2 = clips.filter(F.col("shard") == 1).limit(1)
+    grown = clips.unionByName(dup2).unionByName(dup2)
+    rep = run_pipeline(spark, grown, None, checkpoint_dir=ckpt)
+    assert rep.skipped["row_rules"] == [0]  # shard 1 recomputed
+    # the tripled clip_id is now a uniqueness violation in the fresh result
+    assert rep.violations.filter(F.col("rule") == "uniqueness").count() > 0
 
 
 def test_checkpoint_manifest_has_lineage(spark, tables, tmp_path_factory):

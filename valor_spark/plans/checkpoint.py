@@ -5,10 +5,12 @@ directory holds:
 
 * ``manifest.jsonl`` — one record per completed (stage, shard):
   ``{stage, shard, rows, violations, wall_s, fingerprint, finished_at}``.
-  The fingerprint is ``sum(xxhash64(clip_id))`` over the shard's input rows
-  (computed inside the same aggregation that produces the metrics — free),
-  so a resumed run can detect that a shard's input changed since the
-  checkpoint and recompute it.
+  The fingerprint is ``bit_xor(xxhash64(rule-relevant columns))`` over the
+  shard's input rows (computed inside the same aggregation that produces the
+  metrics — free), so a resumed run detects that a shard's input changed
+  since the checkpoint and recomputes it.  Resume decisions compare the
+  **(rows, fingerprint) pair** — XOR alone self-cancels when an even number
+  of identical rows is added, but that always changes the row count.
 * ``violations/stage=<name>/`` — violation rows parquet, written per stage.
 
 Resume contract: shard-local stages (row rules, audio) skip shards whose
@@ -81,8 +83,26 @@ class RunManifest:
                 out[r.shard] = r.fingerprint
         return out
 
+    def shard_rows_fingerprints(self, stage: str) -> dict[int, tuple[int, int]]:
+        """Latest recorded (rows, fingerprint) per shard.  Resume compares
+        BOTH — the XOR fingerprint alone self-cancels when an even number of
+        identical rows is appended, but that always changes the row count."""
+        out: dict[int, tuple[int, int]] = {}
+        for r in self.records():
+            if r.stage == stage:
+                out[r.shard] = (r.rows, r.fingerprint)
+        return out
+
     def stage_done(self, stage: str) -> bool:
         return GLOBAL_SHARD in self.completed_shards(stage)
+
+    def stage_done_for(self, stage: str, rows: int, fingerprint: int) -> bool:
+        """Stage-granular resume with input validation: the recorded global
+        (rows, fingerprint) must match the CURRENT input, otherwise the stage
+        recomputes (a whole-table constraint over changed data must not serve
+        the previous run's violations)."""
+        rec = self.shard_rows_fingerprints(stage).get(GLOBAL_SHARD)
+        return rec == (rows, fingerprint)
 
     def append(self, records: list[ShardRecord]) -> None:
         # append-then-flush: a crash mid-append loses at most the in-flight
@@ -97,26 +117,50 @@ class RunManifest:
         return os.path.join(self.run_dir, "violations", f"stage={stage}")
 
     def write_violations(
-        self, stage: str, df: DataFrame, partition_by: str | None = None
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: str | None = None,
+        replace_shards: "list[int] | None" = None,
     ) -> None:
         """Persist a stage's violation rows.
 
-        With ``partition_by`` (shard-local stages): dynamic partition
-        overwrite — a recomputed shard replaces ONLY its own partition, so
-        fingerprint-invalidated shards don't duplicate rows.  Global stages
-        overwrite the whole stage directory."""
-        w = df.write
+        With ``partition_by`` + ``replace_shards`` (shard-local stages): the
+        named partitions are explicitly CLEARED first, then the new rows are
+        appended.  Dynamic partition overwrite is NOT enough here — it only
+        replaces partitions *present in the incoming data*, so a recomputed
+        shard whose fresh result has ZERO violations would silently keep its
+        stale rows.  Explicit clearing makes "shard is now clean" land as an
+        empty partition.  Global stages overwrite the whole stage directory."""
+        path = self.violations_path(stage)
         if partition_by:
-            w = (
-                w.partitionBy(partition_by)
-                .option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite")
-            )
-        else:
-            w = w.mode("overwrite")
-        w.parquet(self.violations_path(stage))
+            if replace_shards is None:
+                df.write.partitionBy(partition_by).mode("overwrite").parquet(path)
+            else:
+                import shutil
 
-    def mark_global(self, stage: str, rows: int, violations: int, wall_s: float) -> None:
+                for s in replace_shards:
+                    shutil.rmtree(
+                        os.path.join(path, f"{partition_by}={s}"), ignore_errors=True
+                    )
+                df.write.partitionBy(partition_by).mode("append").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def read_violations(self, spark, stage: str, schema) -> DataFrame:
+        """Read a stage's violation rows back with an EXPLICIT schema — an
+        empty write (clean data) leaves a directory with no data files, and
+        schema inference would throw UNABLE_TO_INFER_SCHEMA on it."""
+        return spark.read.schema(schema).parquet(self.violations_path(stage))
+
+    def mark_global(
+        self,
+        stage: str,
+        rows: int,
+        violations: int,
+        wall_s: float,
+        fingerprint: int = 0,
+    ) -> None:
         self.append(
             [
                 ShardRecord(
@@ -125,7 +169,7 @@ class RunManifest:
                     rows=rows,
                     violations=violations,
                     wall_s=wall_s,
-                    fingerprint=0,
+                    fingerprint=fingerprint,
                     finished_at=time.time(),
                 )
             ]

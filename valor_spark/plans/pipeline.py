@@ -149,13 +149,25 @@ def run_pipeline(
 
     has_shard = "shard" in clips.columns
     shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
+    # Content fingerprint covers every rule-relevant column, not just the key
+    # (a changed transcript/sr_hz/dur_ms must invalidate the shard).  The
+    # payload rides in as length(bytes) — a cheap proxy; a same-length payload
+    # swap is caught by the audio SNR stage itself, which resumes at stage
+    # (not fingerprint) granularity.  bit_xor: order-independent combine that
+    # cannot overflow (ANSI mode makes sum(hash) throw on long overflow);
+    # XOR self-cancellation is handled by comparing (rows, fingerprint) pairs.
+    _fp_cols = [
+        F.col(c)
+        for c in ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+        if c in clips.columns
+    ]
+    if "bytes" in clips.columns:
+        _fp_cols.append(F.coalesce(F.length("bytes"), F.lit(-1)))
     shards_fp = (
         clips.groupBy(shard_col.alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            # bit_xor: order-independent content hash that cannot overflow
-            # (ANSI mode makes sum(hash) throw on long overflow)
-            F.bit_xor(F.xxhash64("clip_id")).alias("fingerprint"),
+            F.bit_xor(F.xxhash64(*_fp_cols)).alias("fingerprint"),
         )
     )
 
@@ -184,11 +196,13 @@ def run_pipeline(
             int(r["shard"]): (int(r["rows"]), int(r["fingerprint"]))
             for r in shards_fp.collect()
         }
-        recorded = manifest.shard_fingerprints(stage)
-        done = {s for s, (_, fp) in shard_stats.items() if recorded.get(s) == fp}
+        recorded = manifest.shard_rows_fingerprints(stage)
+        done = {
+            s for s, (rows, fp) in shard_stats.items() if recorded.get(s) == (rows, fp)
+        }
     if manifest and done and len(done) == len(shard_stats):
         report.skipped[stage] = sorted(done)
-        vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
+        vio_frames.append(manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA))
     else:
         todo = clips.filter(~shard_col.isin([int(s) for s in done])) if done else clips
         rules = clips_row_rules()
@@ -209,19 +223,31 @@ def run_pipeline(
             "error",
         )
         if manifest:
-            manifest.write_violations(stage, vio, partition_by="shard")
             todo_stats = {s: v for s, v in shard_stats.items() if s not in done}
+            manifest.write_violations(
+                stage, vio, partition_by="shard", replace_shards=sorted(todo_stats)
+            )
             manifest.append(_per_shard_metrics(vio, todo_stats, stage))
-            vio = spark.read.parquet(manifest.violations_path(stage))
+            vio = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
         vio_frames.append(vio)
         report.skipped[stage] = sorted(done)
     report.stage_wall_s[stage] = time.time() - t0
 
+    # Global (whole-table) stages resume at stage granularity, validated by
+    # the table-level (rows, fingerprint): XOR of per-shard XORs == XOR over
+    # all rows, so this falls out of shard_stats for free.  Note: the audio
+    # stage's fingerprint covers the CLIPS input; a changed clips_ref needs a
+    # fresh checkpoint dir.
+    global_rows = sum(rows for rows, _ in shard_stats.values())
+    global_fp = 0
+    for _, fp in shard_stats.values():
+        global_fp ^= fp
+
     # ---- stage 2: whole-table constraints (global resume) ---------------
     t0 = time.time()
     stage = "constraints"
-    if manifest and manifest.stage_done(stage):
-        vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
+    if manifest and manifest.stage_done_for(stage, global_rows, global_fp):
+        vio_frames.append(manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA))
         report.skipped[stage] = [GLOBAL_SHARD]
     else:
         parts = [C.uniqueness_violations(clips, "clip_id")]
@@ -232,9 +258,12 @@ def run_pipeline(
             cons = cons.unionByName(p)
         if manifest:
             manifest.write_violations(stage, cons)
-            cons = spark.read.parquet(manifest.violations_path(stage))
+            cons = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
             n = cons.count()
-            manifest.mark_global(stage, rows=0, violations=n, wall_s=time.time() - t0)
+            manifest.mark_global(
+                stage, rows=global_rows, violations=n,
+                wall_s=time.time() - t0, fingerprint=global_fp,
+            )
         vio_frames.append(cons)
     report.stats = C.column_stats(
         clips.select("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
@@ -245,8 +274,10 @@ def run_pipeline(
     if clips_ref is not None and "pcm_ref" in clips_ref.columns:
         t0 = time.time()
         stage = "audio"
-        if manifest and manifest.stage_done(stage):
-            vio_frames.append(spark.read.parquet(manifest.violations_path(stage)))
+        if manifest and manifest.stage_done_for(stage, global_rows, global_fp):
+            vio_frames.append(
+                manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+            )
             report.skipped[stage] = [GLOBAL_SHARD]
         else:
             inv = with_audio_invariant(clips, clips_ref, repartition=audio_repartition)
@@ -267,9 +298,12 @@ def run_pipeline(
             )
             if manifest:
                 manifest.write_violations(stage, vio)
-                vio = spark.read.parquet(manifest.violations_path(stage))
+                vio = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
                 n = vio.count()
-                manifest.mark_global(stage, rows=0, violations=n, wall_s=time.time() - t0)
+                manifest.mark_global(
+                    stage, rows=global_rows, violations=n,
+                    wall_s=time.time() - t0, fingerprint=global_fp,
+                )
             vio_frames.append(vio)
         report.stage_wall_s[stage] = time.time() - t0
 
