@@ -179,18 +179,39 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_col_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column stats with REPRESENTATION-STABLE mean/stddev: float sums are
+    aggregation-order-dependent in the low bits, and a value sitting on a
+    rounding boundary can flip its 4th decimal under different partitioning.
+    Fix: sum DECIMAL-cast values (exact, order-independent), then derive
+    mean/std in ONE double expression — identical on both engines and under
+    any parallelism."""
     li = _t(spark, sf_dir, "lineitem")
 
     def stats(col: str) -> DataFrame:
-        return li.agg(
+        x = F.col(col).cast("decimal(18,6)")
+        agg = li.agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("nulls"),
             F.count_distinct(F.col(col)).alias("n_distinct"),
             F.round(F.min(col).cast("double"), 4).alias("min_v"),
             F.round(F.max(col).cast("double"), 4).alias("max_v"),
-            F.round(F.avg(col), 4).alias("mean_v"),
-            F.round(F.stddev(col), 4).alias("std_v"),
-        ).select(F.lit(col).alias("column"), "*")
+            F.sum(x).alias("sx"),
+            F.sum(x * x).alias("sx2"),
+            F.count(F.col(col)).alias("nn"),
+        )
+        sx = F.col("sx").cast("double")
+        sx2 = F.col("sx2").cast("double")
+        nn = F.col("nn").cast("double")
+        return agg.select(
+            F.lit(col).alias("column"),
+            "cnt",
+            "nulls",
+            "n_distinct",
+            "min_v",
+            "max_v",
+            F.round(sx / nn, 4).alias("mean_v"),
+            F.round(F.sqrt((sx2 - sx * sx / nn) / (nn - F.lit(1.0))), 4).alias("std_v"),
+        )
 
     return stats("l_quantity").unionByName(stats("l_extendedprice"))
 
@@ -703,20 +724,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
         """,
+        # mean/std derive from exact DECIMAL sums (order-independent) in ONE
+        # double expression, mirroring q_col_stats — float aggregation-order
+        # jitter cannot flip the 4th decimal on either engine.
         "col_stats": """
-            SELECT 'l_quantity' AS column, COUNT(*) AS cnt,
-                   SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
-                   COUNT(DISTINCT l_quantity) AS n_distinct,
-                   ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
-                   ROUND(AVG(l_quantity), 4) AS mean_v, ROUND(STDDEV(l_quantity), 4) AS std_v
-            FROM lineitem
-            UNION ALL
-            SELECT 'l_extendedprice', COUNT(*),
-                   SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
-                   COUNT(DISTINCT l_extendedprice),
-                   ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
-                   ROUND(AVG(l_extendedprice), 4), ROUND(STDDEV(l_extendedprice), 4)
-            FROM lineitem
+            WITH s AS (
+              SELECT 'l_quantity' AS "column", COUNT(*) AS cnt,
+                     SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                     COUNT(DISTINCT l_quantity) AS n_distinct,
+                     ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
+                     SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+                     SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(18,6))) AS sx2,
+                     COUNT(l_quantity) AS nn
+              FROM lineitem
+              UNION ALL
+              SELECT 'l_extendedprice', COUNT(*),
+                     SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                     COUNT(DISTINCT l_extendedprice),
+                     ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,6))),
+                     SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(18,6))),
+                     COUNT(l_extendedprice)
+              FROM lineitem
+            )
+            SELECT "column", cnt, nulls, n_distinct, min_v, max_v,
+                   ROUND(CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE), 4) AS mean_v,
+                   ROUND(SQRT((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))
+                              / (CAST(nn AS DOUBLE) - 1.0)), 4) AS std_v
+            FROM s
         """,
         "events_first_per_user_type": """
             SELECT event_id, user_id, event_type FROM events
