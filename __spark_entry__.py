@@ -461,6 +461,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(emb, queries, k=3)
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned approximate top-k (md5-sampled centroids, n_probe
+    lists per query) — the distributed ANN scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_ivf(emb, queries, k=3, n_centroids=16, n_probe=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: Valor rule-algebra violations over orders at sf0.001."""
     return q_val_orders(spark, "/root/testdata/sf0.001")
@@ -486,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
         "events_json": q_events_json,
         "except_all": q_except_all,
         "rollup_orders": q_rollup_orders,
@@ -942,6 +951,52 @@ def oracle_sql() -> dict[str, str]:
                        for p in range(6)
                    )} AS bucket
             FROM embeddings
+        """,
+        # replicates cosine_topk_ivf verbatim: centroid sample = smallest-16
+        # md5(id); per-row list assignment and per-query probes rank by
+        # (round(cos,6) DESC, cid ASC) exactly like the Spark array_sort key
+        "cosine_topk_ivf": """
+            WITH c AS (
+              SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings
+            ),
+            cent AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS centroid
+              FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 16
+            ),
+            assign AS (
+              SELECT nid, cv, cid AS list_id FROM (
+                SELECT c.nid, c.cv, cent.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY c.nid
+                         ORDER BY ROUND(list_cosine_similarity(c.cv, cent.centroid), 6) DESC,
+                                  cent.cid ASC) AS rn
+                FROM c CROSS JOIN cent
+              ) WHERE rn = 1
+            ),
+            q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            probes AS (
+              SELECT qid, qv, cid AS list_id FROM (
+                SELECT q.qid, q.qv, cent.cid,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY q.qid
+                         ORDER BY ROUND(list_cosine_similarity(q.qv, cent.centroid), 6) DESC,
+                                  cent.cid ASC) AS rn
+                FROM q CROSS JOIN cent
+              ) WHERE rn <= 4
+            ),
+            scored AS (
+              SELECT p.qid AS query_id, a.nid AS neighbor_id,
+                     ROUND(list_cosine_similarity(p.qv, a.cv), 6) AS score
+              FROM probes p JOIN assign a ON a.list_id = p.list_id
+              WHERE p.qid != a.nid
+            )
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored QUALIFY rank <= 3
         """,
         "cosine_topk": """
             WITH q AS (

@@ -49,6 +49,72 @@ def test_duplicate_tagging_broadcasts(clips_parquet):
     assert "BroadcastHashJoin" in p  # big side streams, never shuffles
 
 
+def test_top_bigrams_is_distributed_topk(spark):
+    """top-k must compile to TakeOrderedAndProject (per-partition partial
+    top-k), never a global one-task Window sort over all distinct bigrams."""
+    from valor_spark.operators.text import top_bigrams
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(10)], "doc_id bigint, text string"
+    )
+    p = plan_of(top_bigrams(df, k=3))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cosine_topk_ivf_no_global_sort_or_cartesian(spark):
+    """IVF centroid sampling must be a distributed partial top-k; centroid
+    assignment must be a broadcast of ONE folded row (no per-corpus-row
+    cartesian expansion, no unpartitioned window, no driver collect)."""
+    from valor_spark.operators.similarity import cosine_topk_ivf
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 2), k=2,
+                          n_centroids=4, n_probe=2)
+    p = plan_of(out)
+    assert "TakeOrderedAndProject" in p  # md5 centroid sample
+    assert "CartesianProduct" not in p   # one-row crossJoin broadcasts
+    assert _unpartitioned_windows(p) == []
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """windowspecdefinition(...) whose FIRST argument is a sort spec (has
+    ASC/DESC) — i.e. no partition columns: a single-task global sort."""
+    import re
+
+    bad = []
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)", plan):
+        first_arg = m.group(1).split(",")[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            bad.append(m.group(0)[:120])
+    return bad
+
+
+# queries whose unpartitioned window provably runs on <= k rows (the window
+# sits ABOVE a TakeOrderedAndProject limit)
+_BOUNDED_WINDOW_OK = {"top_bigrams"}
+
+
+def test_driver_queries_have_no_unpartitioned_windows(spark):
+    """Sweep every driver-gate query plan: any Window without partition keys
+    funnels the whole input through ONE task — a scale-killer at 100x.
+    (Planning only; nothing executes.)"""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in entry.queries().items():
+        df = fn(spark, sf)
+        bad = _unpartitioned_windows(plan_of(df))
+        if name in _BOUNDED_WINDOW_OK:
+            p = plan_of(df)
+            assert "TakeOrderedAndProject" in p, f"{name}: bounded-window claim broken"
+            continue
+        assert not bad, f"{name}: unpartitioned window(s): {bad}"
+
+
 def test_row_rule_scan_prunes_unused_columns(clips_parquet):
     # a rule reading only sr_hz must not drag bytes through the scan
     rules = {"sr": V.adapt(V.field("sr_hz"), V.fail_if(["Bad"], lambda c: c <= 0, EA))}

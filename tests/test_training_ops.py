@@ -190,6 +190,22 @@ def test_cosine_topk_ivf(emb):
     assert (0, 1) in exact and (0, 1) in ivf
 
 
+def test_cosine_topk_ivf_small_corpus(spark):
+    """Regression: a corpus with fewer rows than n_centroids must still
+    return neighbors (the old stride-based sample came back empty)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), 1.0, 0.5]) for i in range(5)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = SIM.cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") == 0), k=2, n_centroids=16, n_probe=4
+    ).collect()
+    assert len(out) == 2
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
+
+
 def test_bigrams_and_top(spark):
     from valor_spark.operators.text import bigrams, top_bigrams
     from pyspark.sql import functions as F

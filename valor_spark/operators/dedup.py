@@ -61,8 +61,12 @@ def ngram_jaccard_pairs(
     Jaccard = inter / (n1 + n2 - inter).  Returns (doc1, doc2, jaccard)."""
     toks = _distinct_tokens(df, text_col, id_col)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # No broadcast hints on freq/sizes: both are O(distinct tokens) /
+    # O(documents) — broadcasting them OOMs the driver at corpus scale.
+    # The joins are already keyed; AQE picks broadcast when a side is
+    # genuinely small (same treatment as the salted uniqueness agg).
     rare = toks.join(
-        F.broadcast(freq.filter(F.col("df") <= max_token_freq).select("tok")),
+        freq.filter(F.col("df") <= max_token_freq).select("tok"),
         on="tok",
         how="inner",
     )
@@ -77,8 +81,8 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        pairs.join(F.broadcast(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n_tok", "n1")), on="doc1")
-        .join(F.broadcast(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n_tok", "n2")), on="doc2")
+        pairs.join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n_tok", "n1"), on="doc1")
+        .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n_tok", "n2"), on="doc2")
         .withColumn("jaccard", F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
@@ -150,9 +154,13 @@ def minhash_lsh_pairs(
             lambda acc, h: (acc * 1000003 + h) % MOD,
         )
 
+    # The banded explode and candidate self-join carry (doc, band, bucket)
+    # ONLY — shipping the token arrays through the xbands-duplicated explode
+    # and the shuffle multiplies the exchanged bytes by the band count.  The
+    # token sets are joined back from the compact doc->toks table just for
+    # the candidate pairs that survive dedup.
     banded = sig.select(
         "doc",
-        "toks",
         F.explode(
             F.array(
                 *[
@@ -161,23 +169,26 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "toks", "bb.band", "bb.bucket")
+    ).select("doc", "bb.band", "bb.bucket")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(
-            F.col("a.doc").alias("doc1"),
-            F.col("b.doc").alias("doc2"),
-            F.col("a.toks").alias("t1"),
-            F.col("b.toks").alias("t2"),
-        )
+        .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
+    )
+    doc_toks = sig.select("doc", "toks")
+    verified = cand.join(
+        doc_toks.select(F.col("doc").alias("doc1"), F.col("toks").alias("t1")),
+        on="doc1",
+    ).join(
+        doc_toks.select(F.col("doc").alias("doc2"), F.col("toks").alias("t2")),
+        on="doc2",
     )
     inter = F.size(F.array_intersect("t1", "t2"))
     union = F.size(F.array_union("t1", "t2"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc1", "doc2", F.round("jaccard", 4).alias("jaccard"))
     )

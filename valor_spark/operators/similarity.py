@@ -117,48 +117,65 @@ def cosine_topk_ivf(
     by nearest centroid; each query scores only the lists of its ``n_probe``
     nearest centroids.
 
-    Centroids are a deterministic sample of the corpus (every
-    ``N/n_centroids``-th vector by id order) — a stand-in for k-means that
-    keeps the operator fully reproducible; swap in trained centroids at
-    production scale.  The centroid set is tiny and broadcast; the corpus
-    shuffles once on the list id."""
+    Centroids are a deterministic pseudo-random sample: the ``n_centroids``
+    rows with the smallest ``md5(id)`` — a stand-in for k-means that is
+    reproducible in ANY engine (the oracle replicates it verbatim); swap in
+    trained centroids at production scale.
+
+    Scale design — no driver-side materialization anywhere: the sample is
+    ``orderBy(md5).limit(n)`` (``TakeOrderedAndProject``: per-partition
+    partial top-k, no global sort, no ``count()``); the centroid set is
+    folded to ONE row via ``collect_list`` and broadcast-crossJoined, so
+    centroid assignment is a single narrow pass over the corpus (no
+    ``collect()``, no per-row literal expansion, no unpartitioned Window)."""
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
     )
-    # deterministic centroid sample: rank by id, take every stride-th
-    w_all = Window.orderBy(F.col("neighbor_id"))
-    ranked = c.withColumn("rnk", F.row_number().over(w_all))
-    n_total = ranked.count()
-    stride = max(1, n_total // n_centroids)
     centroids = (
-        ranked.filter((F.col("rnk") % stride == 1) & (F.col("rnk") <= stride * n_centroids))
-        .select(F.col("rnk").alias("cid"), F.col("cv").alias("centroid"))
+        c.select(
+            F.col("neighbor_id").alias("cid"),
+            F.col("cv").alias("centroid"),
+            F.md5(F.col("neighbor_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_centroids)
     )
-    cent = [(r["cid"], r["centroid"]) for r in centroids.collect()]
+    cent_row = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("centroid"))).alias("cents")
+    )
 
     def nearest_lists(vec: Column, probe: int) -> Column:
-        """ids of the ``probe`` nearest centroids (by cosine) as an array."""
-        scored = F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cent
-            ]
+        """ids of the ``probe`` nearest centroids (by cosine) as an array.
+        Sort key = (-score rounded to 6, cid): descending by similarity,
+        ascending id tie-break — rounded so both engines agree at float
+        boundaries."""
+        scored = F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                (-F.round(cosine(vec, ct.getField("centroid")), 6)).alias("negs"),
+                ct.getField("cid").alias("cid"),
+            ),
         )
-        top = F.slice(F.reverse(F.array_sort(scored)), 1, probe)
+        top = F.slice(F.array_sort(scored), 1, probe)
         return F.transform(top, lambda t: t.getField("cid"))
 
-    corpus = c.withColumn("list_id", nearest_lists(F.col("cv"), 1)[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
-    ).withColumn("probe", nearest_lists(F.col("qv"), n_probe))
+    corpus = (
+        c.crossJoin(F.broadcast(cent_row))
+        .withColumn("list_id", nearest_lists(F.col("cv"), 1)[0])
+        .drop("cents")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
+        )
+        .crossJoin(F.broadcast(cent_row))
+        .withColumn("probe", nearest_lists(F.col("qv"), n_probe))
+        .drop("cents")
+    )
     q = q.select("query_id", "qv", F.explode("probe").alias("list_id"))
     scored = (
         corpus.join(F.broadcast(q), on="list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",

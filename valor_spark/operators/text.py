@@ -32,18 +32,18 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
-def marker_hits(col: Column, markers: list[str]) -> Column:
-    """How many tokens are in the marker set."""
-    toks = tokens(col)
+def _marker_hits_t(toks: Column, markers: list[str]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def lang_id(col: Column) -> Column:
-    """Pick the language whose marker set hits most tokens; ties and
-    zero-hit rows -> 'und'.  Deterministic tie-break: higher count wins,
-    then language-key order en > de > fr > es (strict > comparisons)."""
-    hits = {lang: marker_hits(col, ms) for lang, ms in LANG_MARKERS.items()}
+def marker_hits(col: Column, markers: list[str]) -> Column:
+    """How many tokens are in the marker set."""
+    return _marker_hits_t(tokens(col), markers)
+
+
+def _lang_id_t(toks: Column) -> Column:
+    hits = {lang: _marker_hits_t(toks, ms) for lang, ms in LANG_MARKERS.items()}
     best = F.lit("und")
     best_n = F.lit(0)
     for lang in LANG_MARKERS:  # first language wins ties via strict >
@@ -54,6 +54,13 @@ def lang_id(col: Column) -> Column:
     return best
 
 
+def lang_id(col: Column) -> Column:
+    """Pick the language whose marker set hits most tokens; ties and
+    zero-hit rows -> 'und'.  Deterministic tie-break: higher count wins,
+    then language-key order en > de > fr > es (strict > comparisons)."""
+    return _lang_id_t(tokens(col))
+
+
 def punct_ratio(col: Column) -> Column:
     """Fraction of characters that are punctuation [.,!?;:]."""
     stripped = F.regexp_replace(col, r"[.,!?;:]", "")
@@ -62,8 +69,7 @@ def punct_ratio(col: Column) -> Column:
                   ).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column) -> Column:
-    toks = tokens(col)
+def _stopword_ratio_t(toks: Column) -> Column:
     arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n = F.size(toks)
     return F.when(
@@ -71,15 +77,23 @@ def stopword_ratio(col: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def stopword_ratio(col: Column) -> Column:
+    return _stopword_ratio_t(tokens(col))
+
+
+def _quality_score_t(toks: Column, text: Column) -> Column:
+    n = F.size(toks)
+    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
+    sw = _stopword_ratio_t(toks)
+    sw_score = F.when((sw > 0.05) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3), 4)
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality heuristic in [0,1]: rewards moderate length, low
     punctuation density, and presence (but not dominance) of stopwords."""
-    n = token_count(col)
-    len_score = F.least(n / F.lit(50.0), F.lit(1.0))
-    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 5)
-    sw = stopword_ratio(col)
-    sw_score = F.when((sw > 0.05) & (sw < 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.round((len_score * 0.4 + punct_pen * 0.3 + sw_score * 0.3), 4)
+    return _quality_score_t(tokens(col), col)
 
 
 def fingerprint(col: Column, length: int = 16) -> Column:
@@ -105,29 +119,41 @@ def bigrams(col: Column) -> Column:
 
 
 def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
-    """Corpus-level top-k bigrams by document frequency (one explode +
-    one aggregation; ties broken by bigram text for determinism)."""
+    """Corpus-level top-k bigrams by occurrence count (one explode + one
+    aggregation; ties broken by bigram text for determinism).
+
+    The top-k is ``orderBy(...).limit(k)`` — compiles to
+    ``TakeOrderedAndProject`` (per-partition partial top-k, then a k-row
+    merge on the driver).  An unpartitioned ``Window.orderBy`` here would
+    sort the ENTIRE distinct-bigram table in one task — billions of rows at
+    corpus scale.  The rank window only ever sees the k surviving rows."""
     from pyspark.sql.window import Window
 
     exploded = df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
     counts = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("bigram", "n", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "bigram", "n", "rank"
     )
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-select profile: tokens, ratios, language, quality, fingerprint."""
+    """Document profile: tokens, ratios, language, quality, fingerprint.
+
+    The token array is materialized ONCE in a lower Project and referenced by
+    every feature (it previously re-derived ~7x per row; Catalyst's
+    CollapseProject keeps a multiply-referenced non-trivial alias as its own
+    projection, so the split is real, not cosmetic)."""
     c = F.col(text_col)
-    return df.select(
+    base = df.select(F.col(id_col), c.alias("__text"), tokens(c).alias("__toks"))
+    toks, text = F.col("__toks"), F.col("__text")
+    return base.select(
         F.col(id_col),
-        token_count(c).alias("n_tokens"),
-        F.round(punct_ratio(c), 4).alias("punct_ratio"),
-        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
-        lang_id(c).alias("pred_lang"),
-        quality_score(c).alias("quality"),
-        fingerprint(c).alias("fingerprint"),
+        F.size(toks).alias("n_tokens"),
+        F.round(punct_ratio(text), 4).alias("punct_ratio"),
+        F.round(_stopword_ratio_t(toks), 4).alias("stopword_ratio"),
+        _lang_id_t(toks).alias("pred_lang"),
+        _quality_score_t(toks, text).alias("quality"),
+        fingerprint(text).alias("fingerprint"),
     )
