@@ -391,6 +391,67 @@ def q_val_acc_poke(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_val_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One composite query exercising the six combinators that previously
+    had pytest-only evidence: alt, test, peek, nerf (payload retention
+    through con), peer (nullable layer), and the restricted Monad bind
+    (taint: wrong-of-first ORs into the result even when the continuation
+    passes).  Reference behavior specs: /root/reference/tst/Data/
+    ValorSpec.hs:39-95 and int/Data/Valor/Internal.hs:90-95, 165-178."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def g(name):
+        return lambda r: r.getField(name)
+
+    qty, disc, tax, flag = g("l_quantity"), g("l_discount"), g("l_tax"), g("l_returnflag")
+    rules = {
+        # alt: first Inert wins; both Wrong -> LAST error only
+        "alt_demo": V.alt(
+            V.fail_if(["QtyHigh"], lambda r: qty(r) > 45, EA),
+            V.fail_if(["QtyVeryHigh"], lambda r: qty(r) > 49, EA),
+        ),
+        # test: predicate picks the validator (False -> 1st, True -> 2nd)
+        "test_demo": V.test(
+            V.fail_if(["DiscHighNonR"], lambda r: disc(r) >= 0.08, EA),
+            V.fail_if(["TaxHighR"], lambda r: tax(r) >= 0.07, EA),
+            lambda r: flag(r) == "R",
+        ),
+        # peek: gate's own error discarded; fail-validator runs on gate-Wrong
+        "peek_demo": V.peek(
+            V.fail_if(["DiscOnHighQty"], lambda r: disc(r) >= 0.05, EA),
+            V.pass_(EA),
+            V.fail_if(["QtyHigh"], lambda r: qty(r) > 45, EA),
+        ),
+        # nerf: forced-Inert but payload KEPT -> con concatenates it in
+        "nerf_demo": V.con(
+            V.nerf(V.fail_(["Note"], EA)),
+            V.fail_if(["TaxHigh"], lambda r: tax(r) >= 0.07, EA),
+        ),
+        # peer: nullable error layer (NULL payload when Inert)
+        "peer_demo": V.peer(V.fail_if(["QtyLow"], lambda r: qty(r) < 2, EA)),
+        # bind: payload routes to a continuation; result tainted by v1.wrong
+        "bind_demo": V.bind(
+            V.fail_if(["QtyHigh"], lambda r: qty(r) > 45, EA),
+            branches=[
+                (
+                    lambda e: F.array_contains(e, "QtyHigh"),
+                    V.fail_if(["DiscAlso"], lambda r: disc(r) >= 0.05, EA),
+                )
+            ],
+            default=V.pass_(EA),
+        ),
+    }
+    res = validate(li, rules, key_cols=["l_orderkey", "l_linenumber"])
+    ann = res.annotated
+    cols = [F.col("l_orderkey"), F.col("l_linenumber")]
+    wrong_any = F.lit(False)
+    for n in rules:
+        v = F.col(f"__valor_{n}")
+        cols.append(F.concat_ws(";", v.getField("err")).alias(f"{n[:-5]}_err"))
+        wrong_any = wrong_any | v.getField("wrong")
+    return ann.filter(wrong_any).select(*cols)
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -417,6 +478,24 @@ def q_val_applications(spark: SparkSession, sf_dir: str) -> DataFrame:
     apps = spark.read.parquet(_ensure_apps_fixture())
     res = validate_applications(spark, apps)
     return res.violations().select("app_id", "rule", "path", "error")
+
+
+def q_val_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio payload invariant (north_rule) in the graded gate: the REAL
+    Arrow decode pipeline (mapInArrow PCM/WAV decode -> SNR>=30dB vs
+    reference -> transcript equality -> WAV-header consistency) runs over a
+    deterministic fixture with planted corruptions; the oracle reads the
+    pure-Python expected-violation parquet (DuckDB can't decode audio, but
+    the planted truth is materialized — see sources/audio_fixture.py)."""
+    from valor_spark.operators.audio import audio_rules, with_audio_invariant
+    from valor_spark.sources.audio_fixture import build_audio_fixture
+
+    paths = build_audio_fixture(FIXTURE_DIR)
+    clips = spark.read.parquet(paths["clips"])
+    ref = spark.read.parquet(paths["ref"])
+    inv = with_audio_invariant(clips, ref)
+    res = validate(inv, rules=audio_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
 
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -499,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "except_all": q_except_all,
         "rollup_orders": q_rollup_orders,
         "val_acc_poke": q_val_acc_poke,
+        "val_combinators": q_val_combinators,
+        "val_audio": q_val_audio,
         "lsh_buckets": q_lsh_buckets,
         "orders_by_month": q_orders_by_month,
         "cube_orders": q_cube_orders,
@@ -684,8 +765,11 @@ def _sql_applications() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from valor_spark.sources.audio_fixture import build_audio_fixture
+
     _ensure_clips_fixture()
     _ensure_apps_fixture()
+    audio_expected = build_audio_fixture(FIXTURE_DIR)["expected"]
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
     return {
@@ -834,6 +918,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": _sql_simhash(32),
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
         "val_applications": _sql_applications(),
+        # the planted ground truth for the REAL decode pipeline (see
+        # q_val_audio / sources/audio_fixture.py)
+        "val_audio": f"SELECT clip_id, rule, error FROM read_parquet('{audio_expected}')",
         "top_bigrams": f"""
             WITH toks AS (
               SELECT {_SQL_TOKENS.format(col='text')} AS t FROM documents
@@ -941,6 +1028,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE (l_quantity > 45 AND l_discount >= 0.08)
                OR (l_quantity > 45 AND l_tax >= 0.07)
+        """,
+        # semantics of each combinator spelled out as CASE expressions:
+        # alt keeps only the LAST error when both fail; nerf's payload
+        # ('Note') survives even when its rule is Inert (con concatenates
+        # payloads unconditionally); bind taints: q>45 rows are wrong even
+        # when the continuation passes (empty bind_err) — hence the plain
+        # `l_quantity > 45` disjunct in WHERE.
+        "val_combinators": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_quantity > 49 THEN 'QtyVeryHigh' ELSE '' END AS alt_err,
+                   CASE WHEN l_returnflag = 'R'
+                        THEN (CASE WHEN l_tax >= 0.07 THEN 'TaxHighR' ELSE '' END)
+                        ELSE (CASE WHEN l_discount >= 0.08 THEN 'DiscHighNonR' ELSE '' END)
+                   END AS test_err,
+                   CASE WHEN l_quantity > 45 AND l_discount >= 0.05
+                        THEN 'DiscOnHighQty' ELSE '' END AS peek_err,
+                   CASE WHEN l_tax >= 0.07 THEN 'Note;TaxHigh' ELSE 'Note' END AS nerf_err,
+                   CASE WHEN l_quantity < 2 THEN 'QtyLow' ELSE '' END AS peer_err,
+                   CASE WHEN l_quantity > 45 AND l_discount >= 0.05
+                        THEN 'DiscAlso' ELSE '' END AS bind_err
+            FROM lineitem
+            WHERE l_quantity > 49
+               OR (CASE WHEN l_returnflag = 'R' THEN l_tax >= 0.07
+                        ELSE l_discount >= 0.08 END)
+               OR (l_quantity > 45 AND l_discount >= 0.05)
+               OR l_tax >= 0.07
+               OR l_quantity < 2
+               OR l_quantity > 45
         """,
         "lsh_buckets": f"""
             SELECT vec_id,

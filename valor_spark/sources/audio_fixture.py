@@ -1,0 +1,170 @@
+"""Audio-gate fixture: real PCM/WAV bytes + a pure-Python expected-violation
+oracle, written as parquet so BOTH engines read identical bytes.
+
+The driver's DuckDB oracle cannot decode audio — but the planted truth can be
+*materialized*: this module derives, row by row in plain Python (numpy +
+stdlib ``wave`` only, no Spark), exactly which violations the audio stage
+must emit for a deterministic fixture, and writes three parquets:
+
+* ``clips``    — (clip_id, bytes, sr_hz, dur_ms, codec, transcript) with the
+  same planted corruptions as the distributed generator
+  (valor_spark.sources.synthetic): SNR corruption, truncation, bad codec,
+  transcript mismatch, plus explicit WAV-header/sr_hz mismatches;
+* ``ref``      — (clip_id, pcm_ref, transcript_ref) reference decodes;
+* ``expected`` — (clip_id, rule, error) the ground-truth violation rows.
+
+The Spark gate query runs the REAL decode pipeline
+(``with_audio_invariant`` + ``audio_rules``) over ``clips``/``ref``; the
+DuckDB oracle just reads ``expected``.  If the decode, the SNR math, the
+join, or the rule algebra drifts, the hashes diverge — this is a true
+end-to-end gate on the payload invariant, not a tautology.
+"""
+
+from __future__ import annotations
+
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+from valor_spark.sources import synthetic as S
+from valor_spark.sources.rowspec import ClipSpec, expected_clips, ref_present
+
+N_CLIPS = 3000
+MAX_SAMPLES = 256
+SNR_DB_MIN = 30.0
+N_HEADER_MISMATCH = 5
+
+
+def _spark_round_str(v: float, digits: int = 2) -> str:
+    """Replicates ``F.round(col, 2).cast('string')``: HALF_UP on the shortest
+    decimal repr (Java BigDecimal.valueOf), then Double.toString."""
+    d = Decimal(repr(float(v))).quantize(
+        Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+    )
+    return repr(float(d))
+
+
+def _clip_bytes(spec: ClipSpec) -> bytes:
+    """Identical to synthetic._bytes_generator for one row (ref=False)."""
+    pcm = S.synth_pcm(spec.g, spec.sr_hz, spec.dur_ms, MAX_SAMPLES, spec.corrupted)
+    if spec.truncated:
+        pcm = pcm[: len(pcm) // 2]
+    if spec.codec == "wav":
+        return S.wrap_wav(pcm, spec.sr_hz)
+    return pcm.tobytes()  # raw s16le (also for planted bad codecs)
+
+
+def _expected_for(spec: ClipSpec) -> list[tuple[str, str]]:
+    """Violations the audio stage must emit for one JOINED clips row —
+    mirrors operators/audio.py decode order + audio_rules error strings."""
+    out: list[tuple[str, str]] = []
+    if spec.codec not in ("pcm_s16le", "wav"):
+        out.append(("audio_decode", f"DecodeError:unsupported_codec:{spec.codec}"))
+    elif spec.truncated:
+        out.append(
+            (
+                "audio_decode",
+                f"DecodeError:length_mismatch:{spec.n_samples // 2}!={spec.n_samples}",
+            )
+        )
+    elif spec.corrupted and spec.n_samples > 0:
+        import numpy as np  # noqa: F401  (snr path)
+
+        from valor_spark.operators.audio import snr_db
+
+        sig = S.synth_pcm(spec.g, spec.sr_hz, spec.dur_ms, MAX_SAMPLES, True)
+        ref = S.synth_pcm(spec.g, spec.sr_hz, spec.dur_ms, MAX_SAMPLES, False)
+        v = snr_db(sig, ref)
+        if v < SNR_DB_MIN:
+            out.append(("audio_snr", f"SnrBelowThreshold:{_spark_round_str(v)}"))
+    # transcript: the ref row belongs to the ORIGINAL id (spec.g); its
+    # transcript_ref mutates when that id hits the mismatch stride
+    if spec.g % S.MISMATCH_TRANSCRIPT_STRIDE == 5:
+        out.append(("transcript_equal", "TranscriptMismatch"))
+    return out
+
+
+def build_audio_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the three parquets (idempotent); returns their paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_audio_{name}.parquet")
+        for name in ("clips", "ref", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    specs = expected_clips(N_CLIPS, MAX_SAMPLES)
+    originals = {s.clip_id: s for s in specs if not s.is_dup and not s.is_hot}
+
+    clips_rows = []
+    for s in specs:
+        clips_rows.append(
+            (s.clip_id, _clip_bytes(s), s.sr_hz, s.dur_ms, s.codec, s.transcript)
+        )
+    ref_rows = []
+    for s in specs:
+        if not s.is_dup and not s.is_hot and ref_present(s):
+            pcm = S.synth_pcm(s.g, s.sr_hz, s.dur_ms, MAX_SAMPLES, False)
+            tr = s.transcript + (
+                " extra" if s.i % S.MISMATCH_TRANSCRIPT_STRIDE == 5 else ""
+            )
+            ref_rows.append((s.clip_id, pcm.tobytes(), tr))
+
+    expected_rows = []
+    ref_ids = {r[0] for r in ref_rows}
+    for s in specs:
+        if s.is_hot or s.clip_id not in ref_ids:
+            continue  # no ref row -> referential integrity's concern
+        for rule, error in _expected_for(s):
+            expected_rows.append((s.clip_id, rule, error))
+
+    # explicit WAV-header/sr_hz mismatch plants (the generator's WAVs are
+    # header-consistent by construction)
+    import numpy as np
+
+    for k in range(N_HEADER_MISMATCH):
+        pcm = np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2")
+        cid = f"hdrmm_{k}"
+        clips_rows.append((cid, S.wrap_wav(pcm, 8000), 16000, 4, "wav", "hdr"))
+        ref_rows.append((cid, pcm.tobytes(), "hdr"))
+        expected_rows.append(
+            (cid, "sr_header_consistent", "SampleRateHeaderMismatch:8000!=16000")
+        )
+
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in clips_rows], pa.string()),
+                "bytes": pa.array([r[1] for r in clips_rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in clips_rows], pa.int32()),
+                "dur_ms": pa.array([r[3] for r in clips_rows], pa.int32()),
+                "codec": pa.array([r[4] for r in clips_rows], pa.string()),
+                "transcript": pa.array([r[5] for r in clips_rows], pa.string()),
+            }
+        ),
+        paths["clips"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in ref_rows], pa.string()),
+                "pcm_ref": pa.array([r[1] for r in ref_rows], pa.binary()),
+                "transcript_ref": pa.array([r[2] for r in ref_rows], pa.string()),
+            }
+        ),
+        paths["ref"],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in expected_rows], pa.string()),
+                "rule": pa.array([r[1] for r in expected_rows], pa.string()),
+                "error": pa.array([r[2] for r in expected_rows], pa.string()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
