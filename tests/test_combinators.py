@@ -250,3 +250,45 @@ def test_checkN_empty_and_null_arrays_pass(spark, user_validator):
     for row in rows:
         assert row.r.wrong is False
         assert row.r.err is None
+
+
+def test_checkN_map_entries(spark):
+    """checkN over a Map traversable (Valor.hs:390 is Traversable t; Haskell
+    Map traverses values, keys preserved): failing entries carry their error
+    under their key, passing entries are NULL, all-pass -> Inert Nothing."""
+    from valor_spark import EArray, checkN_map, fail_if
+
+    EA = EArray()
+    nonempty = fail_if(["ValueEmpty"], lambda v: v == "", EA)
+    df = spark.createDataFrame(
+        [({"a": "x", "b": "", "c": ""},), ({"a": "x"},), ({},), (None,)],
+        "attrs map<string,string>",
+    )
+    r = checkN_map(lambda row: row, nonempty)
+    rows = df.select(r(F.col("attrs")).alias("r")).collect()
+    bad, good, empty, null = [row.r for row in rows]
+    assert bad.wrong is True
+    assert bad.err["a"] is None
+    assert list(bad.err["b"]) == ["ValueEmpty"]
+    assert list(bad.err["c"]) == ["ValueEmpty"]
+    for v in (good, empty, null):
+        assert v.wrong is False and v.err is None
+
+
+def test_checkN_map_violation_paths(spark):
+    """Map entry errors flatten to [key] path segments through the engine."""
+    from valor_spark import EArray, adapt, checkN_map, fail_if, field
+    from valor_spark.plans.engine import validate
+
+    EA = EArray()
+    rule = adapt(
+        field("attrs"),
+        checkN_map(lambda m: m, fail_if(["ValueEmpty"], lambda v: v == "", EA)),
+    )
+    df = spark.createDataFrame(
+        [(1, {"k1": "", "k2": "ok"}), (2, {"k3": "ok"})],
+        "id int, attrs map<string,string>",
+    )
+    res = validate(df, {"attrs_nonempty": rule}, key_cols=["id"])
+    vio = [(r["id"], r["path"], r["error"]) for r in res.violations().collect()]
+    assert vio == [(1, "[k1]", "ValueEmpty")]

@@ -132,3 +132,59 @@ def test_streaming_duplicate_detection_across_batches(spark, tmp_path_factory):
     assert ("b", 2, "DuplicateKey:n=2") in rows
     assert ("a", 2, "DuplicateKey:n=2") in rows
     assert not any(r[0] == "c" for r in rows)
+
+
+def test_streaming_uniqueness_state_ttl_evicts(spark, tmp_path_factory):
+    """State-TTL: a key idle past the TTL is evicted (bounded state store),
+    so its next occurrence counts as first-seen — no violation.  Timeout
+    callbacks fire on triggers where the key has no data, hence the middle
+    batch with an unrelated key."""
+    from valor_spark.streaming.validate_stream import streaming_duplicate_clips
+
+    src = str(tmp_path_factory.mktemp("ttlsrc"))
+    ckpt = str(tmp_path_factory.mktemp("ttlckpt"))
+    # three files -> maxFilesPerTrigger=1 -> three micro-batches:
+    # b1: 'a' (state created, TTL armed); b2: 'x' only -> 'a' idle past
+    # 1ms TTL -> evicted; b3: 'a' again -> fresh, NOT a duplicate
+    spark.createDataFrame([("a",)], "clip_id string").coalesce(1).write.parquet(f"{src}/f1")
+    time.sleep(0.05)
+    spark.createDataFrame([("x",)], "clip_id string").coalesce(1).write.parquet(f"{src}/f2")
+    time.sleep(0.05)
+    spark.createDataFrame([("a",)], "clip_id string").coalesce(1).write.parquet(f"{src}/f3")
+
+    stream = (
+        spark.readStream.schema("clip_id string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{src}/f*")
+    )
+    q = (
+        streaming_duplicate_clips(stream, ttl_ms=1)
+        .writeStream.format("memory")
+        .queryName("ttldups")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ttldups").collect()
+    # with eviction between b1 and b3, 'a' never reaches n=2
+    assert rows == [], [tuple(r) for r in rows]
+
+    # control: same input WITHOUT ttl keeps state -> 'a' flagged at n=2
+    ckpt2 = str(tmp_path_factory.mktemp("ttlckpt2"))
+    q2 = (
+        streaming_duplicate_clips(stream)
+        .writeStream.format("memory")
+        .queryName("ttldups_ctl")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    ctl = {
+        (r["clip_id"], r["n_seen"]) for r in spark.sql("select * from ttldups_ctl").collect()
+    }
+    assert ("a", 2) in ctl

@@ -11,6 +11,7 @@ checks, per-partition verdicts, and checkpoint/resume — designed for
 from valor_spark.functions.errtypes import (
     EArray,
     EArrayOf,
+    EMapOf,
     ENullable,
     ERecord,
     EString,
@@ -25,6 +26,7 @@ from valor_spark.functions.rules import (
     bind,
     check1,
     checkN,
+    checkN_map,
     con,
     conN,
     fail_,
@@ -50,8 +52,10 @@ from valor_spark.functions.rules import (
 )
 
 __all__ = [
-    "EArray", "EArrayOf", "ENullable", "ERecord", "EString", "ErrType", "strings",
-    "Rule", "acc", "adapt", "alt", "bind", "check1", "checkN", "con", "conN",
+    "EArray", "EArrayOf", "EMapOf", "ENullable", "ERecord", "EString", "ErrType",
+    "strings",
+    "Rule", "acc", "adapt", "alt", "bind", "check1", "checkN", "checkN_map",
+    "con", "conN",
     "fail_", "fail_col", "fail_if", "field", "fmap_err", "inert", "is_inert",
     "is_wrong", "make", "mk", "nerf", "pass_", "pass_if", "peek", "peer",
     "poke", "record", "test", "val_w", "wrong_case",

@@ -183,6 +183,46 @@ class EArrayOf(ErrType):
         return F.array(*[self.inner.lit(v) for v in value]).cast(self.dtype)
 
 
+class EMapOf(ErrType):
+    """``Map String e`` payloads — per-entry errors from ``checkN_map``
+    (the reference's ``checkN`` is ``Traversable t``, Valor.hs:390; Haskell
+    ``Map k`` traverses VALUES, keys preserved).  Values are nullable
+    (``Maybe e``: NULL = that entry passed).
+
+    ``<>`` is ``unionWith (<>)`` (key union, value-wise combine) — the
+    natural Semigroup; the reference's tests never combine these payloads,
+    so any lawful choice is observationally safe."""
+
+    def __init__(self, inner: ErrType) -> None:
+        self.inner = inner
+        self.dtype = T.MapType(T.StringType(), inner.dtype, True)
+
+    def neutral(self) -> Column:
+        return F.map_from_arrays(
+            F.array().cast("array<string>"), F.array().cast(T.ArrayType(self.inner.dtype))
+        )
+
+    def combine(self, a: Column, b: Column) -> Column:
+        merged = F.map_zip_with(
+            a,
+            b,
+            lambda k, v1, v2: F.when(v1.isNull(), v2)
+            .when(v2.isNull(), v1)
+            .otherwise(self.inner.combine(v1, v2)),
+        )
+        return F.coalesce(merged, a, b)
+
+    def lit(self, value: Any) -> Column:
+        assert isinstance(value, Mapping)
+        if not value:
+            return self.neutral()
+        keys = F.array(*[F.lit(str(k)) for k in value])
+        vals = F.array(*[self.inner.lit(v) for v in value.values()]).cast(
+            T.ArrayType(self.inner.dtype)
+        )
+        return F.map_from_arrays(keys, vals)
+
+
 def strings() -> EArray:
     """The workhorse payload: ``array<string>`` of error messages."""
     return EArray(T.StringType())

@@ -33,7 +33,17 @@ from typing import Any, Callable, Mapping, Sequence
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .errtypes import ERR, WRONG, EArray, ENullable, ERecord, EArrayOf, ErrType, strings
+from .errtypes import (
+    ERR,
+    WRONG,
+    EArray,
+    EArrayOf,
+    EMapOf,
+    ENullable,
+    ERecord,
+    ErrType,
+    strings,
+)
 
 Predicate = Callable[[Column], Column]
 Selector = Callable[[Column], Column]
@@ -328,6 +338,32 @@ def checkN(selector: Selector | str, rule: Rule) -> Rule:
         payload = F.transform(elems, lambda e: e.getField(ERR))
         return F.when(
             arr.isNull() | all_ok, mk(F.lit(False), F.lit(None).cast(et.dtype), et)
+        ).otherwise(mk(F.lit(True), payload, et))
+
+    return Rule(fn, et)
+
+
+def checkN_map(selector: Selector | str, rule: Rule) -> Rule:
+    """``checkN`` over a MAP column — the reference's ``checkN`` is
+    ``Traversable t`` (Valor.hs:390-395) and Haskell ``Map k`` traverses its
+    VALUES with keys preserved, so the per-element ``[Maybe e]`` becomes a
+    per-entry ``Map k (Maybe e)``.
+
+    All entries pass -> ``Inert Nothing``; otherwise ``Wrong (Just {k ->
+    Maybe e})`` with every key present (NULL value = that entry passed).
+    A NULL input map validates as pass (same engine choice as checkN)."""
+    if isinstance(selector, str):
+        selector = field(selector)
+    elem_peer = peer(rule)
+    et = ENullable(EMapOf(elem_peer.etype))
+
+    def fn(col: Column) -> Column:
+        m = selector(col)
+        verdicts = F.transform_values(m, lambda k, v: elem_peer(v))
+        all_ok = F.forall(F.map_values(verdicts), lambda e: ~e.getField(WRONG))
+        payload = F.transform_values(verdicts, lambda k, e: e.getField(ERR))
+        return F.when(
+            m.isNull() | all_ok, mk(F.lit(False), F.lit(None).cast(et.dtype), et)
         ).otherwise(mk(F.lit(True), payload, et))
 
     return Rule(fn, et)

@@ -40,6 +40,7 @@ from valor_spark.functions.errtypes import (
     WRONG,
     EArray,
     EArrayOf,
+    EMapOf,
     ENullable,
     ERecord,
     EString,
@@ -94,6 +95,17 @@ def _flatten_err(etype: ErrType, err: Column, path: Column) -> Column:
             err,
             lambda e, i: _flatten_err(
                 etype.inner, e, F.concat(path, F.lit("["), i.cast("string"), F.lit("]"))
+            ),
+        )
+        return F.flatten(nested).cast(entry_t)
+    if isinstance(etype, EMapOf):
+        # per-entry map payloads (checkN_map): keys become [key] path segments
+        nested = F.transform(
+            F.map_entries(err),
+            lambda kv: _flatten_err(
+                etype.inner,
+                kv.getField("value"),
+                F.concat(path, F.lit("["), kv.getField("key").cast("string"), F.lit("]")),
             ),
         )
         return F.flatten(nested).cast(entry_t)

@@ -76,7 +76,7 @@ def validate_stream(
 def streaming_duplicate_clips(
     stream_df: DataFrame,
     key_col: str = "clip_id",
-    timeout: str = "NoTimeout",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Cross-micro-batch uniqueness: a custom stateful operator via
     ``applyInPandasWithState`` (the batch engine's groupBy-count can't see
@@ -84,9 +84,16 @@ def streaming_duplicate_clips(
     occurrence AFTER the first emits a violation row
     ``(clip_id, n_seen, rule, error)``.
 
-    Scale notes: state is one long per distinct key, partitioned by the
-    grouping key; pair with a state-TTL timeout in production so the store
-    is bounded by the dedup window rather than all-time cardinality."""
+    ``ttl_ms`` bounds the state store: a key idle for longer than the TTL
+    has its state evicted (ProcessingTimeTimeout), so memory is bounded by
+    the dedup *window* rather than all-time key cardinality — at 10^12
+    clips, all-time state is not an option.  A key recurring after eviction
+    counts as first-seen again (the standard windowed-dedup trade-off).
+    ``ttl_ms=None`` keeps state forever (exact all-time uniqueness).
+
+    Scale notes: state is one long per distinct live key, partitioned by the
+    grouping key; eviction callbacks fire on triggers where the key has no
+    data (GroupStateTimeout semantics)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = f"{key_col} string, n_seen long, rule string, error string"
@@ -95,12 +102,18 @@ def streaming_duplicate_clips(
     def fn(key, pdfs, state: "GroupState"):
         import pandas as pd
 
+        if state.hasTimedOut:
+            # idle past the TTL: evict -> the key's next occurrence is fresh
+            state.remove()
+            return
         seen = state.get[0] if state.exists else 0
         batch = 0
         for pdf in pdfs:
             batch += len(pdf)
         total = seen + batch
         state.update((total,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         # first-ever occurrence is fine; everything beyond 1 is a duplicate
         n_dups = total - max(1, seen) if seen else total - 1
         if n_dups > 0:
@@ -113,6 +126,11 @@ def streaming_duplicate_clips(
                 }
             )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         stream_df.select(key_col)
         .groupBy(key_col)
@@ -121,7 +139,7 @@ def streaming_duplicate_clips(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=getattr(GroupStateTimeout, timeout),
+            timeoutConf=timeout,
         )
     )
 
