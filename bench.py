@@ -379,6 +379,7 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "| bytes column pruned from row-rule scan when audio stage runs | row-rule stage input KB-scale instead of GB-scale |",
         "| OMP/BLAS threads pinned to 1 per worker | removes 14x CPU inflation at 32 workers |",
         "| spark.task.cpus=2 for Arrow-heavy configs | audio 9.0 -> 3.5 s (local[8] vs local[32], 480k) |",
+        "| minhash-LSH candidates shuffled as (doc1,doc2) only, token sets joined back for verification (round 2) | at 10x gate corpus (10k docs, 11.4M verified pairs): shuffle 5.91 GB -> 0.14 GB (42x), wall 235 -> 64 s, and the old toks-through-shuffle shape OOMs a default-heap driver where the new one completes |",
         "",
         "Run-to-run variance on this shared sandbox is substantial (same",
         "config measured 0.57-0.95 across a session depending on page-cache",

@@ -90,8 +90,34 @@ def main():
             "projection collapse — see operators/audio.py).",
         )
 
+    from valor_spark.operators.similarity import cosine_topk_ivf
+    from valor_spark.operators.text import top_bigrams
+
+    docs = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta " * 3) for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    cap(
+        "Corpus top-k bigrams: TakeOrderedAndProject, never a global Window",
+        top_bigrams(docs, k=5),
+        "Per-partition partial top-k + k-row merge; an unpartitioned Window "
+        "here would sort every distinct bigram in ONE task at corpus scale.",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cap(
+        "IVF ANN: md5-sampled centroids (partial top-k) folded to ONE "
+        "broadcast row — no collect, no corpus-wide Window",
+        cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 2), k=2,
+                        n_centroids=4, n_probe=2),
+        "Centroid assignment is a BroadcastNestedLoopJoin against a single "
+        "folded row; the only Window is per-query top-k.",
+    )
+
     hdr = (
-        "# BENCH/PLANS.md — physical-plan evidence (round 1)\n\n"
+        "# BENCH/PLANS.md — physical-plan evidence\n\n"
         "Captured `.explain` output (attribute ids normalized) for the plan\n"
         "properties the engine's 100 TB design depends on.  Regenerate with\n"
         "`tools/capture_plans.py`.\n"

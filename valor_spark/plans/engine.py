@@ -257,14 +257,26 @@ class ValidationResult:
 
 
 def sample_violations(violations: DataFrame, per_rule: int = 10) -> DataFrame:
-    """Deterministic top-K violation examples per rule (window row_number
-    ordered by key) — the triage view for a run with millions of violations."""
+    """Deterministic top-K violation examples per rule — the triage view for
+    a run with millions of violations.
+
+    Two-phase top-K: phase 1 keeps K rows per (rule, input partition), so a
+    hot rule with millions of violations never funnels them all through ONE
+    reducer; phase 2 ranks the <= K * n_partitions survivors per rule.  The
+    final result is the global top-K by the ordering columns — invariant to
+    the physical partitioning, so the output stays deterministic."""
     from pyspark.sql.window import Window
 
     order_cols = [c for c in violations.columns if c != "rule"]
-    w = Window.partitionBy("rule").orderBy(*order_cols)
+    w1 = Window.partitionBy("rule", F.spark_partition_id()).orderBy(*order_cols)
+    local_top = (
+        violations.withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= per_rule)
+        .drop("__r")
+    )
+    w2 = Window.partitionBy("rule").orderBy(*order_cols)
     return (
-        violations.withColumn("example_rank", F.row_number().over(w))
+        local_top.withColumn("example_rank", F.row_number().over(w2))
         .filter(F.col("example_rank") <= per_rule)
     )
 
