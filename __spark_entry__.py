@@ -307,6 +307,52 @@ def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counting per source.  The ratio is
+    computed from the EXACT integer sums (one double division at the end) —
+    never an avg of per-row double ratios, whose sum order is
+    partitioning-dependent."""
+    d = _t(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        TX.token_count(F.col("text")).alias("ws"),
+        TX.bpe_token_count(F.col("text")).alias("bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.round(
+            F.sum("bpe").cast("double") / F.sum("ws").cast("double"), 4
+        ).alias("bpe_per_ws"),
+    )
+
+
+def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (URL + email scrub): redactables are planted on
+    deterministic doc_id strides (the raw corpus has none), counts and the
+    md5 of the redacted text are oracle-compared."""
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit(" contact admin@example.com or bob.smith+x@mail.co now"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit(" via https://data.example.org/path?q=1 end"),
+        ).otherwise(F.lit("")),
+    )
+    n_urls, n_emails = TX.redaction_counts(planted)
+    out = d.select(
+        "doc_id",
+        n_urls.alias("n_urls"),
+        n_emails.alias("n_emails"),
+        F.md5(TX.redact_text(planted)).alias("redacted_md5"),
+    )
+    return out.filter((F.col("n_urls") > 0) | (F.col("n_emails") > 0))
+
+
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", DD.simhash(F.col("text"), bits=32).alias("simhash"))
@@ -571,6 +617,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile": q_text_profile,
         "token_stats_by_source": q_token_stats_by_source,
         "simhash_docs": q_simhash_docs,
+        "token_modes": q_token_modes,
+        "redact_docs": q_redact_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_ivf": q_cosine_topk_ivf,
@@ -916,6 +964,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "simhash_docs": _sql_simhash(32),
+        "token_modes": f"""
+            WITH per_doc AS (
+              SELECT source,
+                     len({_SQL_TOKENS.format(col='text')})::BIGINT AS ws,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+'))::BIGINT AS bpe
+              FROM documents
+            )
+            SELECT source, SUM(ws)::BIGINT AS ws_tokens, SUM(bpe)::BIGINT AS bpe_tokens,
+                   ROUND(SUM(bpe)::DOUBLE / SUM(ws)::DOUBLE, 4) AS bpe_per_ws
+            FROM per_doc GROUP BY source
+        """,
+        # DuckDB regexp_replace needs the 'g' flag (Spark replaces all by default)
+        "redact_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || (CASE WHEN doc_id % 7 = 0
+                          THEN ' contact admin@example.com or bob.smith+x@mail.co now'
+                          ELSE '' END)
+                     || (CASE WHEN doc_id % 11 = 0
+                          THEN ' via https://data.example.org/path?q=1 end'
+                          ELSE '' END) AS t
+              FROM documents
+            ),
+            counted AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, 'https?://[^\\s]+'))::INT AS n_urls,
+                     len(regexp_extract_all(
+                       regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+'))::INT AS n_emails,
+                     md5(regexp_replace(
+                       regexp_replace(t, 'https?://[^\\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g')) AS redacted_md5
+              FROM planted
+            )
+            SELECT doc_id, n_urls, n_emails, redacted_md5
+            FROM counted WHERE n_urls > 0 OR n_emails > 0
+        """,
         "minhash_lsh_pairs": _sql_minhash_pairs(16, 4, 0.8),
         "val_applications": _sql_applications(),
         # the planted ground truth for the REAL decode pipeline (see

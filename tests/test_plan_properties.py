@@ -115,6 +115,18 @@ def test_driver_queries_have_no_unpartitioned_windows(spark):
         assert not bad, f"{name}: unpartitioned window(s): {bad}"
 
 
+def test_resume_fingerprint_scan_never_reads_payload(clips_parquet):
+    """The checkpoint-resume decision must stay a metadata-column scan:
+    reading bytes (even length(bytes)) to decide whether to skip a shard
+    costs a full payload pass — at 100 TB that defeats the resume."""
+    from valor_spark.plans.pipeline import shard_fingerprint_frame
+
+    p = plan_of(shard_fingerprint_frame(clips_parquet))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "bytes" not in read_schema, read_schema
+    assert "partial_bit_xor" in p or "bit_xor" in p  # map-side combine
+
+
 def test_row_rule_scan_prunes_unused_columns(clips_parquet):
     # a rule reading only sr_hz must not drag bytes through the scan
     rules = {"sr": V.adapt(V.field("sr_hz"), V.fail_if(["Bad"], lambda c: c <= 0, EA))}

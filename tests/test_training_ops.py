@@ -222,6 +222,31 @@ def test_bigrams_and_top(spark):
     assert top == [("a b", 2, 1), ("b c", 1, 2)]
 
 
+def test_bpe_tokens_and_redaction(spark):
+    from pyspark.sql import functions as F
+    from valor_spark.operators.text import (
+        bpe_token_count, bpe_tokens, redact_text, redaction_counts, token_count,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "hello-world v2.0: mail me at a.b@c.io or https://x.io/p?q=1 ok")],
+        "doc_id bigint, text string",
+    )
+    row = df.select(
+        bpe_tokens(F.col("text")).alias("bpe"),
+        bpe_token_count(F.col("text")).alias("n_bpe"),
+        token_count(F.col("text")).alias("n_ws"),
+        redact_text(F.col("text")).alias("red"),
+        *[c.alias(n) for c, n in zip(redaction_counts(F.col("text")), ("n_urls", "n_emails"))],
+    ).collect()[0]
+    # letter runs / single digits / punctuation runs
+    assert list(row.bpe[:6]) == ["hello", "-", "world", "v", "2", "."]
+    assert row.n_bpe > row.n_ws  # punctuation-heavy text splits finer
+    assert row.n_urls == 1 and row.n_emails == 1
+    assert "<URL>" in row.red and "<EMAIL>" in row.red
+    assert "a.b@c.io" not in row.red and "https://" not in row.red
+
+
 def test_sample_violations(spark):
     from valor_spark.plans.engine import sample_violations
 

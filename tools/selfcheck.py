@@ -1,7 +1,14 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()[name]`` on Spark and the matching ``oracle_sql()[name]`` on
 DuckDB at sf0.01, compare row count, column names, and an order-insensitive
-value hash.  Usage: PYTHONPATH=/root/repo python tools/selfcheck.py [sf_dir]
+value hash.
+
+Usage: PYTHONPATH=/root/repo python tools/selfcheck.py [sf_dir] [--partitions N]
+
+``--partitions`` varies spark.sql.shuffle.partitions — float aggregation
+order depends on partitioning, so a query that hash-matches at one setting
+but not another has a representation-stability bug (the col_stats class of
+failure); sweep 3/8/32 before trusting a float-producing query.
 """
 
 from __future__ import annotations
@@ -48,11 +55,11 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, partitions: int = 8) -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("valor-selfcheck")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", str(partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
         .getOrCreate()
@@ -121,5 +128,11 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf))
+    args = sys.argv[1:]
+    parts = 8
+    if "--partitions" in args:
+        i = args.index("--partitions")
+        parts = int(args[i + 1])
+        del args[i : i + 2]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    raise SystemExit(main(sf, partitions=parts))

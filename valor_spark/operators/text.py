@@ -32,6 +32,46 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-ish pre-tokenization (GPT-2-style, simplified to constructs with
+# identical semantics in Java regex and DuckDB's RE2): letter runs, single
+# digits, runs of non-alphanumeric-non-space.  Counts approximate
+# subword-tokenizer input segmentation far better than whitespace counts on
+# code/punctuation-heavy text.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-token pieces.  SQL: regexp_extract_all(x, pattern)."""
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
+# redaction (PII scrub) — the standard training-data hygiene pass; pure
+# regexp_replace (JVM-side), patterns restricted to RE2-compatible syntax so
+# the DuckDB oracle applies the identical rewrite
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^\s]+"
+
+
+def redact_text(col: Column) -> Column:
+    """Replace URLs then emails with sentinel tokens (URL first — emails
+    inside URLs are swallowed by the URL rewrite, deterministically)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"
+    )
+
+
+def redaction_counts(col: Column) -> tuple[Column, Column]:
+    """(n_urls, n_emails) that redact_text would rewrite."""
+    n_urls = F.size(F.regexp_extract_all(col, F.lit(URL_RE), 0))
+    after_urls = F.regexp_replace(col, URL_RE, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(after_urls, F.lit(EMAIL_RE), 0))
+    return n_urls, n_emails
+
+
 def _marker_hits_t(toks: Column, markers: list[str]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

@@ -88,6 +88,40 @@ def clips_row_rules() -> dict:
     }
 
 
+def shard_fingerprint_frame(
+    clips: DataFrame, fingerprint_payload: bool = False
+) -> DataFrame:
+    """Per-shard (rows, fingerprint) used for checkpoint-resume decisions.
+
+    The content fingerprint covers every rule-relevant METADATA column, not
+    just the key (a changed transcript/sr_hz/dur_ms must invalidate the
+    shard).  The payload is deliberately excluded by default: parquet BINARY
+    lengths live in the data pages, so even ``length(bytes)`` forces a full
+    payload scan — at 100 TB the resume-decision aggregation must stay a
+    metadata-column read, orders of magnitude cheaper than the work it
+    skips.  ``fingerprint_payload=True`` adds length(bytes) for callers
+    whose payloads can change under identical metadata (the audio stage
+    re-verifies payload content whenever it runs in any case).
+
+    ``bit_xor``: order-independent combine that cannot overflow (ANSI mode
+    makes sum(hash) throw on long overflow); XOR self-cancellation is
+    handled by comparing (rows, fingerprint) PAIRS, never fingerprint alone.
+    """
+    has_shard = "shard" in clips.columns
+    shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
+    fp_cols = [
+        F.col(c)
+        for c in ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
+        if c in clips.columns
+    ]
+    if fingerprint_payload and "bytes" in clips.columns:
+        fp_cols.append(F.coalesce(F.length("bytes"), F.lit(-1)))
+    return clips.groupBy(shard_col.alias("shard")).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(F.xxhash64(*fp_cols)).alias("fingerprint"),
+    )
+
+
 @dataclass
 class PipelineReport:
     rows: int = 0
@@ -133,6 +167,7 @@ def run_pipeline(
     snr_db_min: float = 30.0,
     audio_repartition: int | None = None,
     scan_bytes_in_row_rules: bool | None = None,
+    fingerprint_payload: bool = False,
 ) -> PipelineReport:
     """``scan_bytes_in_row_rules``: the ``bytes_present`` row rule forces the
     row-rule stage to scan the (dominant) binary column.  When the audio
@@ -148,28 +183,8 @@ def run_pipeline(
     empty_vio = spark.createDataFrame([], C.VIOLATION_SCHEMA)
 
     has_shard = "shard" in clips.columns
+    shards_fp = shard_fingerprint_frame(clips, fingerprint_payload)
     shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
-    # Content fingerprint covers every rule-relevant column, not just the key
-    # (a changed transcript/sr_hz/dur_ms must invalidate the shard).  The
-    # payload rides in as length(bytes) — a cheap proxy; a same-length payload
-    # swap is caught by the audio SNR stage itself, which resumes at stage
-    # (not fingerprint) granularity.  bit_xor: order-independent combine that
-    # cannot overflow (ANSI mode makes sum(hash) throw on long overflow);
-    # XOR self-cancellation is handled by comparing (rows, fingerprint) pairs.
-    _fp_cols = [
-        F.col(c)
-        for c in ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
-        if c in clips.columns
-    ]
-    if "bytes" in clips.columns:
-        _fp_cols.append(F.coalesce(F.length("bytes"), F.lit(-1)))
-    shards_fp = (
-        clips.groupBy(shard_col.alias("shard"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(F.xxhash64(*_fp_cols)).alias("fingerprint"),
-        )
-    )
 
     # ---- stage 0: schema gate -------------------------------------------
     t0 = time.time()
