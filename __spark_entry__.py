@@ -97,6 +97,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across the cluster: the table is one small parquet
+    file locally, so CPU-heavy per-row derivations (hashing, tokenization)
+    would otherwise run in ONE task.  One narrow-input shuffle buys
+    full-width parallelism for every downstream stage — at production scale
+    the input arrives multi-partition and this repartition is a no-op cost.
+    Row-content-deterministic queries are unaffected by partitioning (the
+    gate sweep at shuffle.partitions 3/13/32 proves it)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # rule sets used by the validation queries
 # ---------------------------------------------------------------------------
@@ -186,34 +198,54 @@ def q_col_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean/std in ONE double expression — identical on both engines and under
     any parallelism."""
     li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice"]
 
-    def stats(col: str) -> DataFrame:
+    def aggs(col: str, p: str) -> list:
         x = F.col(col).cast("decimal(18,6)")
-        agg = li.agg(
-            F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("nulls"),
-            F.count_distinct(F.col(col)).alias("n_distinct"),
-            F.round(F.min(col).cast("double"), 4).alias("min_v"),
-            F.round(F.max(col).cast("double"), 4).alias("max_v"),
-            F.sum(x).alias("sx"),
-            F.sum(x * x).alias("sx2"),
-            F.count(F.col(col)).alias("nn"),
-        )
-        sx = F.col("sx").cast("double")
-        sx2 = F.col("sx2").cast("double")
-        nn = F.col("nn").cast("double")
-        return agg.select(
+        return [
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"{p}_nulls"),
+            F.round(F.min(col).cast("double"), 4).alias(f"{p}_min"),
+            F.round(F.max(col).cast("double"), 4).alias(f"{p}_max"),
+            F.sum(x).alias(f"{p}_sx"),
+            F.sum(x * x).alias(f"{p}_sx2"),
+            F.count(F.col(col)).alias(f"{p}_nn"),
+        ]
+
+    # ONE Expand-free scan for all plain aggregates, unpivoted to two rows
+    # via an explode; the exact distinct counts run as separate SINGLE-column
+    # pruned scans (count_distinct inside the shared agg triggers an Expand
+    # that multiplies every row by the number of distinct aggregates — at
+    # petabyte scale you'd use approx_count_distinct in the shared pass
+    # instead, but the oracle needs the exact count).
+    one = li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        *aggs(cols[0], "c0"),
+        *aggs(cols[1], "c1"),
+    )
+    for i, c in enumerate(cols):
+        nd = li.select(c).agg(F.count_distinct(F.col(c)).alias(f"c{i}_n_distinct"))
+        one = one.crossJoin(F.broadcast(nd))
+
+    def row(col: str, p: str):
+        sx = F.col(f"{p}_sx").cast("double")
+        sx2 = F.col(f"{p}_sx2").cast("double")
+        nn = F.col(f"{p}_nn").cast("double")
+        return F.struct(
             F.lit(col).alias("column"),
-            "cnt",
-            "nulls",
-            "n_distinct",
-            "min_v",
-            "max_v",
+            F.col("cnt").alias("cnt"),
+            F.col(f"{p}_nulls").alias("nulls"),
+            F.col(f"{p}_n_distinct").alias("n_distinct"),
+            F.col(f"{p}_min").alias("min_v"),
+            F.col(f"{p}_max").alias("max_v"),
             F.round(sx / nn, 4).alias("mean_v"),
-            F.round(F.sqrt((sx2 - sx * sx / nn) / (nn - F.lit(1.0))), 4).alias("std_v"),
+            F.round(F.sqrt((sx2 - sx * sx / nn) / (nn - F.lit(1.0))), 4).alias(
+                "std_v"
+            ),
         )
 
-    return stats("l_quantity").unionByName(stats("l_extendedprice"))
+    return one.select(
+        F.explode(F.array(row(cols[0], "c0"), row(cols[1], "c1"))).alias("v")
+    ).select("v.*")
 
 
 def q_events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +323,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.text_profile(_t(spark, sf_dir, "documents"))
+    return TX.text_profile(_docs_wide(spark, sf_dir))
 
 
 def q_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +386,7 @@ def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_wide(spark, sf_dir)
     return d.select("doc_id", DD.simhash(F.col("text"), bits=32).alias("simhash"))
 
 
@@ -367,7 +399,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely near-duplicate and the verified-pair output grows
     quadratically — fine for LSH, useless as a fixed-cost benchmark query."""
     d = (
-        _t(spark, sf_dir, "documents")
+        _docs_wide(spark, sf_dir)
         .filter(F.col("doc_id") < 1000)
         .select("doc_id", "text")
     )
@@ -545,7 +577,7 @@ def q_val_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.top_bigrams(_t(spark, sf_dir, "documents"), k=20)
+    return TX.top_bigrams(_docs_wide(spark, sf_dir), k=20)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,6 +226,14 @@ def run_pipeline_bench(spark, n: int = None, samples: int = None,
 def run_queries(spark) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    # untimed neutral warmup: parquet footers, vectorized-reader and codegen
+    # init, scheduler spin-up — the protocol measures steady-state query
+    # time, same treatment the pipeline gets from warm_python_workers.  No
+    # headline query runs here.
+    for t in ("orders", "lineitem", "events", "documents", "embeddings",
+              "customer", "nation", "region"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").limit(1).count()
+
     qs = entrymod.queries()
     out = {}
     for name in HEADLINE:
