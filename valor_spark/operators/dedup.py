@@ -114,9 +114,9 @@ def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(text: Column, k: int = 16) -> Column:
-    """k minhashes: h_i(t) = (a_i * H(t) + b_i) % MOD minimized over tokens."""
-    toks = F.array_distinct(tokens(text))
+def minhash_signature_from_tokens(toks: Column, k: int = 16) -> Column:
+    """k minhashes over a precomputed distinct-token array:
+    h_i(t) = (a_i * H(t) + b_i) % MOD minimized over tokens."""
     hs = F.transform(toks, token_hash)
     sigs = []
     for a, b in minhash_coeffs(k):
@@ -124,6 +124,11 @@ def minhash_signature(text: Column, k: int = 16) -> Column:
             F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % MOD))
         )
     return F.array(*sigs)
+
+
+def minhash_signature(text: Column, k: int = 16) -> Column:
+    """k minhashes: h_i(t) = (a_i * H(t) + b_i) % MOD minimized over tokens."""
+    return minhash_signature_from_tokens(F.array_distinct(tokens(text)), k)
 
 
 def minhash_lsh_pairs(
@@ -140,11 +145,16 @@ def minhash_lsh_pairs(
     any bucket are candidates -> verified with true token-set Jaccard.
     Returns (doc1, doc2, jaccard >= threshold)."""
     rows_per_band = k // bands
-    sig = df.select(
+    # tokenize ONCE per row in a lower Project; the k-hash signature reads
+    # the materialized array (CollapseProject keeps a multiply-referenced
+    # non-trivial alias — same treatment as text_profile)
+    base = df.select(
         F.col(id_col).alias("doc"),
-        minhash_signature(F.col(text_col), k).alias("sig"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     ).filter(F.size("toks") > 0)
+    sig = base.select(
+        "doc", "toks", minhash_signature_from_tokens(F.col("toks"), k).alias("sig")
+    )
     # band bucket = polynomial combine of the band's signature rows — NOT
     # F.hash, so an engine-independent oracle can reproduce the buckets
     def band_bucket(b: int) -> Column:
