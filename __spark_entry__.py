@@ -576,6 +576,34 @@ def q_val_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("clip_id", "rule", "error")
 
 
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image decode in the graded gate: BMP/PGM/PPM bytes decoded with
+    numpy in the Arrow mapInPandas pass (true dims, intensity, block
+    features); the oracle reads the expected table derived from the SOURCE
+    pixel arrays (sources/image_fixture.py), so encode->decode, metadata,
+    and feature math are tested end-to-end."""
+    from valor_spark.operators import multimodal as MM
+    from valor_spark.sources.image_fixture import FEATURE_DIM, build_image_fixture
+
+    paths = build_image_fixture(FIXTURE_DIR)
+    imgs = spark.read.parquet(paths["data"])
+    feats = MM.image_features(imgs, dim=FEATURE_DIM)
+    return feats.select(
+        "id",
+        "format",
+        "width",
+        "height",
+        "channels",
+        F.when(F.col("error").isNotNull(), F.lit(None))
+        .otherwise(F.round("mean_intensity", 6))
+        .alias("mean_intensity"),
+        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
+            "features"
+        ),
+        "error",
+    )
+
+
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.top_bigrams(_docs_wide(spark, sf_dir), k=20)
 
@@ -666,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "top_bigrams": q_top_bigrams,
+        "image_stats": q_image_stats,
         "val_applications": q_val_applications,
     }
 
@@ -847,9 +876,12 @@ def _sql_applications() -> str:
 def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_fixture
 
+    from valor_spark.sources.image_fixture import build_image_fixture
+
     _ensure_clips_fixture()
     _ensure_apps_fixture()
     audio_expected = build_audio_fixture(FIXTURE_DIR)["expected"]
+    image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
     return {
@@ -1039,6 +1071,12 @@ def oracle_sql() -> dict[str, str]:
         # the planted ground truth for the REAL decode pipeline (see
         # q_val_audio / sources/audio_fixture.py)
         "val_audio": f"SELECT clip_id, rule, error FROM read_parquet('{audio_expected}')",
+        # expected stats derived from the SOURCE pixel arrays (see
+        # q_image_stats / sources/image_fixture.py)
+        "image_stats": (
+            "SELECT id, format, width, height, channels, mean_intensity, "
+            f"features, error FROM read_parquet('{image_expected}')"
+        ),
         "top_bigrams": f"""
             WITH toks AS (
               SELECT {_SQL_TOKENS.format(col='text')} AS t FROM documents

@@ -142,6 +142,51 @@ def test_multimodal_features(spark):
     assert out[99]["error"] == "null_bytes"
 
 
+def test_bmp_pnm_roundtrip_unit():
+    """Real image decode (numpy-only): encode->decode is the identity for
+    24-bit RGB and 8-bit gray BMP; PGM/PPM parse with comments; truncated
+    payloads raise."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (5, 3, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(rgb)), rgb)
+    gray = rng.integers(0, 256, (4, 7), dtype=np.uint8)
+    assert np.array_equal(MM.decode_bmp(MM.encode_bmp(gray))[:, :, 0], gray)
+    pgm = b"P5\n# a comment\n3 2\n255\n" + bytes(range(6))
+    img = MM.decode_pnm(pgm)
+    assert img.shape == (2, 3, 1) and img[1, 2, 0] == 5
+    ppm = b"P6 2 1 255\n" + bytes(range(6))
+    assert MM.decode_pnm(ppm).shape == (1, 2, 3)
+    with pytest.raises(ValueError):
+        MM.decode_bmp(MM.encode_bmp(rgb)[:-8])  # truncated pixels
+
+
+def test_image_features_real_decode(spark):
+    """image_features really decodes BMP/PGM: true dims, true intensity,
+    block features from pixel content — and opaque bytes still flow through
+    the deterministic fake path."""
+    flat = np.full((8, 4), 100, dtype=np.uint8)           # uniform gray
+    grad = np.zeros((8, 4), dtype=np.uint8); grad[4:] = 200  # dark top, light bottom
+    rows = [
+        (1, MM.encode_bmp(flat)),
+        (2, MM.encode_bmp(grad)),
+        (3, b"P5 4 2 255\n" + bytes([255] * 8)),
+        (4, b"\x89PNG-not-really"),  # opaque -> fake featurizer
+        (5, MM.encode_bmp(flat)[:-4]),  # truncated -> decode error
+    ]
+    df = spark.createDataFrame(rows, "id bigint, bytes binary")
+    out = {r["id"]: r for r in MM.image_features(df, dim=2).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"], out[1]["channels"]) == ("bmp", 4, 8, 1)
+    assert abs(out[1]["mean_intensity"] - 100 / 255) < 1e-9
+    assert abs(out[1]["features"][0] - 100 / 255) < 1e-6
+    # gradient: top band dark, bottom band light
+    assert out[2]["features"][0] < 0.01 and out[2]["features"][1] > 0.7
+    assert (out[3]["format"], out[3]["width"]) == ("pgm", 4)
+    assert abs(out[3]["mean_intensity"] - 1.0) < 1e-9
+    assert out[4]["format"] == "opaque" and out[4]["error"] is None
+    assert len(out[4]["features"]) == 2
+    assert out[5]["error"].startswith("decode_failed:bmp_truncated")
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 10), (2, 1)], "vid int, n_frames int")
     got = MM.frame_sample_plan(df, "n_frames", every_k=4).collect()

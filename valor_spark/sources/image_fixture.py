@@ -1,0 +1,154 @@
+"""Image-gate fixture: real BMP/PGM/PPM bytes + a pure-Python expected-stats
+oracle, written as parquet so BOTH engines read identical bytes.
+
+Mirrors the audio-gate pattern (sources/audio_fixture.py): the expected
+table is derived from the SOURCE pixel arrays at build time, while the Spark
+gate query decodes the encoded BYTES through the real mapInPandas pass — so
+the encode->decode inverse, the metadata extraction, and the feature math
+are all genuinely end-to-end tested, not tautological.
+"""
+
+from __future__ import annotations
+
+import os
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+N_IMAGES = 120
+FEATURE_DIM = 4
+
+
+def _round_half_up(v: float, digits: int) -> float:
+    """Replicates Spark's F.round on doubles (HALF_UP on the shortest repr)."""
+    return float(
+        Decimal(repr(float(v))).quantize(
+            Decimal(1).scaleb(-digits), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+def _source_image(i: int):
+    """Deterministic pixels for image ``i``: gradient / checker / noise
+    patterns cycling through gray-BMP, RGB-BMP, PGM, PPM encodings."""
+    rng = np.random.default_rng(1000 + i)
+    h, w = 4 + (i % 5) * 3, 3 + (i * 7) % 9
+    kind = i % 3
+    if kind == 0:  # vertical gradient
+        img = np.tile(
+            np.linspace(0, 255, h).astype(np.uint8)[:, None], (1, w)
+        )
+    elif kind == 1:  # checkerboard
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((yy + xx) % 2 * 255).astype(np.uint8)
+    else:  # seeded noise
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    if i % 4 in (1, 3):  # color variants
+        img = np.stack([img, np.roll(img, 1, axis=1), 255 - img], axis=2)
+    return img
+
+
+def _encode(i: int, img: np.ndarray):
+    """-> (bytes, format) cycling through the four real encodings."""
+    from valor_spark.operators.multimodal import encode_bmp
+
+    color = img.ndim == 3
+    if i % 4 in (0, 1):
+        return encode_bmp(img), "bmp"
+    h, w = img.shape[:2]
+    if color:
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes(), "ppm"
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes(), "pgm"
+
+
+def build_image_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write images + expected parquets (idempotent); returns their paths."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from valor_spark.operators.multimodal import block_features, fake_decode
+
+    paths = {
+        name: os.path.join(fixture_dir, f"images_{name}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    data_rows, expected_rows = [], []
+    for i in range(N_IMAGES):
+        img = _source_image(i)
+        raw, fmt = _encode(i, img)
+        err = None
+        if i % 17 == 9:  # planted truncation -> decode error
+            img3 = img if img.ndim == 3 else img[:, :, None]
+            h, w, c = img3.shape
+            if fmt == "bmp":
+                stride = (w * c + 3) & ~3
+                pixel_off = 54 + (1024 if c == 1 else 0)
+                need = pixel_off + stride * h
+                raw = raw[:-6]
+                err = f"decode_failed:bmp_truncated:{len(raw)}<{need}"
+            else:
+                hdr_len = len(raw) - h * w * c
+                raw = raw[:-6]
+                err = f"decode_failed:pnm_truncated:{len(raw)-hdr_len}<{h*w*c}"
+                fmt = "pnm"  # decode_image reports the magic family on error
+        elif i % 13 == 5:  # planted opaque payload -> fake featurizer
+            raw = b"JUNK" + bytes(((i * 31 + j) % 251 for j in range(64)))
+            fmt = "opaque"
+
+        data_rows.append((i, raw))
+        if err is not None:
+            expected_rows.append((i, fmt, None, None, None, None, None, err))
+            continue
+        if fmt == "opaque":
+            feats = fake_decode(raw, FEATURE_DIM)
+            mi = _round_half_up(float(feats.mean()), 6)
+            expected_rows.append(
+                (i, fmt, None, None, None, mi,
+                 [_round_half_up(float(x), 4) for x in feats], None)
+            )
+            continue
+        img3 = img if img.ndim == 3 else img[:, :, None]
+        feats = block_features(img3, FEATURE_DIM)
+        expected_rows.append(
+            (
+                i,
+                fmt,
+                int(img3.shape[1]),
+                int(img3.shape[0]),
+                int(img3.shape[2]),
+                _round_half_up(float(img3.mean(dtype=np.float64) / 255.0), 6),
+                [_round_half_up(float(x), 4) for x in feats],
+                None,
+            )
+        )
+
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in data_rows], pa.int64()),
+                "bytes": pa.array([r[1] for r in data_rows], pa.binary()),
+            }
+        ),
+        paths["data"],
+    )
+    cols = list(zip(*expected_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(cols[0], pa.int64()),
+                "format": pa.array(cols[1], pa.string()),
+                "width": pa.array(cols[2], pa.int32()),
+                "height": pa.array(cols[3], pa.int32()),
+                "channels": pa.array(cols[4], pa.int32()),
+                "mean_intensity": pa.array(cols[5], pa.float64()),
+                "features": pa.array(cols[6], pa.list_(pa.float64())),
+                "error": pa.array(cols[7], pa.string()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
