@@ -183,7 +183,10 @@ def run_pipeline(
     empty_vio = spark.createDataFrame([], C.VIOLATION_SCHEMA)
 
     has_shard = "shard" in clips.columns
-    shards_fp = shard_fingerprint_frame(clips, fingerprint_payload)
+    # persist: this 1-row-per-shard aggregate is consumed up to three times
+    # (resume decisions, verdict assembly, row totals) — without the cache
+    # each use re-scans the input's metadata columns
+    shards_fp = shard_fingerprint_frame(clips, fingerprint_payload).persist()
     shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
 
     # ---- stage 0: schema gate -------------------------------------------
@@ -242,8 +245,11 @@ def run_pipeline(
             manifest.write_violations(
                 stage, vio, partition_by="shard", replace_shards=sorted(todo_stats)
             )
-            manifest.append(_per_shard_metrics(vio, todo_stats, stage))
+            # metric counts come from the (tiny) written parquet, not the
+            # logical plan — counting the plan would re-run the whole
+            # validation scan a second time
             vio = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+            manifest.append(_per_shard_metrics(vio, todo_stats, stage))
         vio_frames.append(vio)
         report.skipped[stage] = sorted(done)
     report.stage_wall_s[stage] = time.time() - t0
@@ -362,6 +368,10 @@ def run_pipeline(
             "fingerprint",
         )
     )
-    report.rows = sum(r["rows"] for r in shards_fp.select("rows").collect())
+    report.rows = (
+        global_rows
+        if shard_stats
+        else sum(r["rows"] for r in shards_fp.select("rows").collect())
+    )
     report.stage_wall_s["verdicts"] = time.time() - t0
     return report
