@@ -69,3 +69,30 @@ def test_end_to_end_detects_shift(spark):
     )
     psi = D.psi_drift(skewed, "sr_hz", baseline)
     assert not psi.passed
+
+
+def test_drift_report_single_scan_matches_per_metric(spark):
+    """drift_report (one scan for all metrics) must agree with the
+    per-metric ks_drift / psi_drift to float precision."""
+    clips = S.clips(spark, n=1500, n_shards=4, with_audio=False)
+    ok = clips.filter((F.col("dur_ms") > 0) & (F.col("sr_hz") > 0))
+    baseline = D.baseline_from(
+        ok, numeric_cols={"dur_ms": (0.0, 1001.0, 20)}, categorical_cols=["sr_hz"]
+    ).cache()
+    want_ks = D.ks_drift(
+        clips.filter(F.col("dur_ms") > 0), "dur_ms", baseline, 0.0, 1001.0, 20
+    )
+    want_psi = D.psi_drift(clips.filter(F.col("sr_hz") > 0), "sr_hz", baseline)
+    got = {
+        (r.column, r.metric): r
+        for r in D.drift_report(
+            clips,
+            baseline,
+            numeric={"dur_ms": dict(lo=0.0, hi=1001.0, nbins=20, threshold=0.1,
+                                    pred=F.col("dur_ms") > 0)},
+            categorical={"sr_hz": dict(threshold=0.2, pred=F.col("sr_hz") > 0)},
+        )
+    }
+    assert abs(got[("dur_ms", "ks")].value - want_ks.value) < 1e-12
+    assert abs(got[("sr_hz", "psi")].value - want_psi.value) < 1e-12
+    assert got[("dur_ms", "ks")].passed and got[("sr_hz", "psi")].passed

@@ -126,6 +126,86 @@ def psi_drift(
     return DriftResult(col, "psi", psi_statistic(obs, base), threshold)
 
 
+def drift_report(
+    df: DataFrame,
+    baseline: DataFrame,
+    numeric: dict | None = None,
+    categorical: dict | None = None,
+) -> list[DriftResult]:
+    """ALL drift metrics from ONE scan of ``df``.
+
+    ``numeric``: {col: {lo, hi, nbins, threshold, pred?}} -> KS;
+    ``categorical``: {col: {threshold, pred?}} -> PSI.  Per-row bin keys for
+    every metric are computed in one projection and exploded, so the input is
+    read once (vs one scan per metric) — at 100 TB the scan IS the cost; the
+    shuffle stays a few-dozen-row count aggregate with map-side combine.
+    ``pred`` optionally restricts which rows enter that column's histogram
+    (e.g. only positive durations)."""
+    numeric = numeric or {}
+    categorical = categorical or {}
+    keys = []
+    for col, spec in numeric.items():
+        width = (spec["hi"] - spec["lo"]) / spec["nbins"]
+        b = F.floor((F.col(col).cast("double") - F.lit(spec["lo"])) / F.lit(width))
+        b = F.greatest(F.lit(0), F.least(F.lit(spec["nbins"] - 1), b)).cast("int")
+        cond = F.col(col).isNotNull()
+        if spec.get("pred") is not None:
+            cond = cond & spec["pred"]
+        keys.append(F.when(cond, F.concat(F.lit(f"n:{col}:"), b.cast("string"))))
+    for col, spec in categorical.items():
+        cond = F.col(col).isNotNull()
+        if spec.get("pred") is not None:
+            cond = cond & spec["pred"]
+        keys.append(
+            F.when(cond, F.concat(F.lit(f"c:{col}:"), F.col(col).cast("string")))
+        )
+    hist_rows = (
+        df.select(F.explode(F.array(*keys)).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    obs: dict[str, dict] = {}
+    for r in hist_rows:
+        kind, col, key = r["k"].split(":", 2)
+        obs.setdefault((kind, col), {})[key] = r["cnt"]
+
+    base_rows = baseline.collect()
+    results = []
+    for col, spec in numeric.items():
+        width = (spec["hi"] - spec["lo"]) / spec["nbins"]
+        base: dict = {}
+        for r in base_rows:
+            if r["column_name"] != col:
+                continue
+            b = int(
+                min(spec["nbins"] - 1, max(0, round((r["bin_lo"] - spec["lo"]) / width)))
+            )
+            base[str(b)] = base.get(str(b), 0.0) + r["expected_share"]
+        # string keys sort lexicographically; KS needs NUMERIC bin order
+        o = {int(k): v for k, v in obs.get(("n", col), {}).items()}
+        b2 = {int(k): v for k, v in base.items()}
+        results.append(
+            DriftResult(col, "ks", ks_statistic(o, b2), spec.get("threshold", 0.1))
+        )
+    for col, spec in categorical.items():
+        base = {
+            str(int(r["bin_lo"])): r["expected_share"]
+            for r in base_rows
+            if r["column_name"] == col
+        }
+        results.append(
+            DriftResult(
+                col,
+                "psi",
+                psi_statistic(obs.get(("c", col), {}), base),
+                spec.get("threshold", 0.2),
+            )
+        )
+    return results
+
+
 def psi_df(obs: DataFrame, base: DataFrame, col: str, round_to: int = 6) -> DataFrame:
     """PSI between two DataFrames' distributions of ``col``, entirely as
     DataFrame ops (no driver-side collect) — one row ``(psi)``.

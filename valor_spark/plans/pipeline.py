@@ -328,14 +328,20 @@ def run_pipeline(
             vio_frames.append(vio)
         report.stage_wall_s[stage] = time.time() - t0
 
-    # ---- stage 4: distribution drift -------------------------------------
+    # ---- stage 4: distribution drift (ALL metrics from one scan) ---------
     if baseline is not None:
         t0 = time.time()
-        report.drift = [
-            D.ks_drift(clips.filter(F.col("dur_ms") > 0), "dur_ms", baseline,
-                       lo=0.0, hi=1001.0, nbins=20),
-            D.psi_drift(clips.filter(F.col("sr_hz") > 0), "sr_hz", baseline),
-        ]
+        report.drift = D.drift_report(
+            clips,
+            baseline,
+            numeric={
+                "dur_ms": dict(
+                    lo=0.0, hi=1001.0, nbins=20, threshold=0.1,
+                    pred=F.col("dur_ms") > 0,
+                )
+            },
+            categorical={"sr_hz": dict(threshold=0.2, pred=F.col("sr_hz") > 0)},
+        )
         for d in report.drift:
             if not d.passed:
                 vio_frames.append(
