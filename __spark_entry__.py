@@ -56,6 +56,36 @@ def _ensure_clips_fixture() -> str:
     return CLIPS_FIXTURE
 
 
+STREAM_FIXTURE = os.path.join(FIXTURE_DIR, "stream_src")
+
+
+def _ensure_stream_fixture() -> str:
+    """Two deterministic parquet files (written in order, so the file stream
+    delivers two micro-batches) with planted violations."""
+    if not os.path.exists(os.path.join(STREAM_FIXTURE, "f2.parquet")):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(STREAM_FIXTURE, exist_ok=True)
+        for fname, lo, hi in (("f1.parquet", 0, 100), ("f2.parquet", 100, 200)):
+            ids = list(range(lo, hi))
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(ids, pa.int32()),
+                        "name": pa.array(
+                            ["" if i % 7 == 0 else f"u{i}" for i in ids], pa.string()
+                        ),
+                        "amount": pa.array(
+                            [-1 if i % 5 == 0 else i % 13 for i in ids], pa.int32()
+                        ),
+                    }
+                ),
+                os.path.join(STREAM_FIXTURE, fname),
+            )
+    return STREAM_FIXTURE
+
+
 APPS_FIXTURE = os.path.join(FIXTURE_DIR, "applications.parquet")
 
 
@@ -530,6 +560,82 @@ def q_val_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.filter(wrong_any).select(*cols)
 
 
+def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming in the graded gate: the same rule algebra runs
+    over file-source micro-batches (maxFilesPerTrigger=1 -> two triggers)
+    through foreachBatch; the collected stream output must equal the batch
+    SQL over the union of the files — byte-identical batch/stream parity is
+    the module's contract (valor_spark/streaming/validate_stream.py)."""
+    import tempfile
+
+    from valor_spark.streaming.validate_stream import validate_stream
+
+    src = _ensure_stream_fixture()
+    rules = {
+        "amount_pos": V.adapt(
+            V.field("amount"), V.fail_if(["AmountNegative"], lambda a: a < 0, EA)
+        ),
+        "name_nonempty": V.adapt(
+            V.field("name"), V.fail_if(["NameEmpty"], lambda s: s == "", EA)
+        ),
+    }
+    collected: list = []
+
+    def on_batch(valid_df: DataFrame, vio_df: DataFrame, batch_id: int) -> None:
+        collected.extend(vio_df.collect())
+
+    stream = (
+        spark.readStream.schema("id int, name string, amount int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = validate_stream(
+        stream,
+        rules,
+        key_cols=["id"],
+        on_batch=on_batch,
+        checkpoint_dir=tempfile.mkdtemp(prefix="gate_stream_ckpt_"),
+        trigger_once=True,
+    )
+    q.awaitTermination(180)
+    return spark.createDataFrame(
+        [(r["id"], r["rule"], r["error"]) for r in collected],
+        "id int, rule string, error string",
+    )
+
+
+def q_val_string_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Haskell-String payload Semigroup in the gate: ``con`` concatenates
+    STRING payloads left-to-right unconditionally (even across Inert
+    operands whose payload is the neutral ''), wrongness ORs — the §2.2
+    payload table for EString (Internal.hs:112-116 with e = String)."""
+    ES = V.EString()
+    o = _t(spark, sf_dir, "orders")
+    rule = V.conN(
+        V.adapt(
+            V.field("o_orderpriority"),
+            V.pass_if(
+                "PriorityLow;",
+                lambda p: p.startswith("1-") | p.startswith("2-"),
+                ES,
+            ),
+        ),
+        V.adapt(
+            V.field("o_totalprice"),
+            V.fail_if("PriceHigh;", lambda x: x > 250000, ES),
+        ),
+        V.adapt(
+            V.field("o_orderstatus"),
+            V.fail_if("StatusF;", lambda s: s == "F", ES),
+        ),
+    )
+    res = validate(o, {"sdemo": rule}, key_cols=["o_orderkey"])
+    v = F.col("__valor_sdemo")
+    return res.annotated.filter(v.getField("wrong")).select(
+        "o_orderkey", v.getField("err").alias("err_str")
+    )
+
+
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return emb.select(
@@ -687,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "val_acc_poke": q_val_acc_poke,
         "val_combinators": q_val_combinators,
+        "val_string_payload": q_val_string_payload,
+        "stream_validate": q_stream_validate,
         "val_audio": q_val_audio,
         "lsh_buckets": q_lsh_buckets,
         "orders_by_month": q_orders_by_month,
@@ -880,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
 
     _ensure_clips_fixture()
     _ensure_apps_fixture()
+    stream_src = _ensure_stream_fixture()
     audio_expected = build_audio_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
@@ -1212,6 +1321,30 @@ def oracle_sql() -> dict[str, str]:
                OR l_tax >= 0.07
                OR l_quantity < 2
                OR l_quantity > 45
+        """,
+        # batch/stream parity: the stream's collected violations must equal
+        # plain batch SQL over the union of the micro-batch files
+        "stream_validate": f"""
+            SELECT id, 'amount_pos' AS rule, 'AmountNegative' AS error
+            FROM read_parquet('{stream_src}/*.parquet') WHERE amount < 0
+            UNION ALL
+            SELECT id, 'name_nonempty', 'NameEmpty'
+            FROM read_parquet('{stream_src}/*.parquet') WHERE name = ''
+        """,
+        # String-payload Semigroup: unconditional left-to-right concat of
+        # the three rules' payloads ('' when a rule passes), row kept when
+        # ANY rule is wrong
+        "val_string_payload": """
+            SELECT o_orderkey,
+                   (CASE WHEN NOT (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+                         THEN 'PriorityLow;' ELSE '' END)
+                   || (CASE WHEN o_totalprice > 250000 THEN 'PriceHigh;' ELSE '' END)
+                   || (CASE WHEN o_orderstatus = 'F' THEN 'StatusF;' ELSE '' END)
+                   AS err_str
+            FROM orders
+            WHERE NOT (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+               OR o_totalprice > 250000
+               OR o_orderstatus = 'F'
         """,
         "lsh_buckets": f"""
             SELECT vec_id,
