@@ -212,6 +212,7 @@ def run_pipeline_bench(spark, n: int = None, samples: int = None,
         wall = w if wall is None else min(wall, w)
         if not checkpoint:
             rep.violations.unpersist()
+        rep.release()  # drop the per-run cached fingerprint frame
         if ckpt:
             shutil.rmtree(ckpt, ignore_errors=True)
     return {
@@ -297,6 +298,8 @@ def scaling() -> dict:
 
     efficiencies = {}
     ms = SCALING_MASTERS
+    if len(ms) < 2:
+        raise SystemExit("--scaling needs at least two masters (got: %s)" % ms)
     for lo, hi in zip(ms, ms[1:]):
         ratio = cores(hi) / cores(lo)
         eff = results[hi]["clips_per_sec"] / (ratio * results[lo]["clips_per_sec"])

@@ -231,6 +231,65 @@ def test_fingerprint_invalidated_by_even_duplicate_rows(spark, tmp_path_factory)
     assert rep.violations.filter(F.col("rule") == "uniqueness").count() > 0
 
 
+def test_resume_invalidated_by_ref_table_change(spark, tmp_path_factory):
+    """The constraints stage consumes clips_ref — resume must recompute when
+    the ref changes (previously only the clips side keyed the skip)."""
+    clips = _clean_clips(spark)
+    ref_full = clips.select("clip_id", F.lit("t").alias("transcript_ref"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ref"))
+    r1 = run_pipeline(spark, clips, ref_full, checkpoint_dir=ckpt)
+    assert r1.violations.filter(F.col("rule") == "referential").count() == 0
+    # shrink the ref: same clips -> referential orphans must now appear
+    ref_small = ref_full.filter(F.col("clip_id") > "clean_0009")
+    r2 = run_pipeline(spark, clips, ref_small, checkpoint_dir=ckpt)
+    assert "constraints" not in r2.skipped  # recomputed, not served stale
+    got = r2.violations.filter(F.col("rule") == "referential").count()
+    assert got == 10  # clean_0000..0009 lost their ref rows
+
+
+def test_resume_invalidated_by_config_change(spark, tmp_path_factory):
+    """A changed rule config (snr threshold) must not serve the previous
+    threshold's checkpointed audio verdicts."""
+    import numpy as np
+
+    from valor_spark.sources.synthetic import wrap_wav  # noqa: F401 (env check)
+
+    pcm = np.arange(0, 256, dtype="<i2")
+    noisy = (pcm + (np.arange(256) % 7 - 3)).astype("<i2")  # SNR ~ 35 dB
+    clips = spark.createDataFrame(
+        [("a", pcm.tobytes(), 16000, 16, "pcm_s16le", "t", 0),
+         ("b", noisy.tobytes(), 16000, 16, "pcm_s16le", "t", 1)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string, shard int",
+    )
+    ref = spark.createDataFrame(
+        [("a", pcm.tobytes(), "t"), ("b", pcm.tobytes(), "t")],
+        "clip_id string, pcm_ref binary, transcript_ref string",
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_cfg"))
+    r1 = run_pipeline(spark, clips, ref, checkpoint_dir=ckpt, snr_db_min=30.0)
+    assert r1.violations.filter(F.col("rule") == "audio_snr").count() == 0
+    r2 = run_pipeline(spark, clips, ref, checkpoint_dir=ckpt, snr_db_min=60.0)
+    assert r2.violations.filter(F.col("rule") == "audio_snr").count() == 1
+
+
+def test_resume_drops_violations_of_removed_shards(spark, tmp_path_factory):
+    """A shard removed from the input must not resurface its old violations
+    from the stage directory on resume."""
+    dirty = _clean_clips(spark).withColumn(
+        "transcript",
+        F.when(F.col("shard") == 1, F.lit("")).otherwise(F.col("transcript")),
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rm"))
+    r1 = run_pipeline(spark, dirty, None, checkpoint_dir=ckpt)
+    assert r1.violations.filter(F.col("shard") == 1).count() == 10
+    only0 = dirty.filter(F.col("shard") == 0)
+    r2 = run_pipeline(spark, only0, None, checkpoint_dir=ckpt)
+    assert r2.skipped["row_rules"] == [0]
+    assert r2.violations.count() == 0  # shard 1's stale rows filtered out
+    assert r2.rows == 10
+
+
 def test_checkpoint_manifest_has_lineage(spark, tables, tmp_path_factory):
     clips, _, _ = tables
     ckpt = str(tmp_path_factory.mktemp("ckpt2"))

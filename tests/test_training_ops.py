@@ -158,6 +158,18 @@ def test_bmp_pnm_roundtrip_unit():
     assert MM.decode_pnm(ppm).shape == (1, 2, 3)
     with pytest.raises(ValueError):
         MM.decode_bmp(MM.encode_bmp(rgb)[:-8])  # truncated pixels
+    with pytest.raises(ValueError, match="maxval"):
+        MM.decode_pnm(b"P5 2 1 15\n\x0f\x0f")  # non-255 maxval must not
+        # silently decode mis-scaled intensities
+    # 8-bit COLOR palette resolves through the LUT to RGB (indices are not
+    # intensities)
+    buf = bytearray(MM.encode_bmp(gray))
+    for i in range(256):
+        buf[54 + i * 4 : 54 + i * 4 + 4] = bytes((i, 0, 255 - i, 0))  # B=i, R=255-i
+    img = MM.decode_bmp(bytes(buf))
+    assert img.shape == (4, 7, 3)
+    v = int(gray[0, 0])
+    assert tuple(img[0, 0]) == (255 - v, 0, v)  # RGB from palette entry v
 
 
 def test_image_features_real_decode(spark):

@@ -143,6 +143,9 @@ def drift_report(
     (e.g. only positive durations)."""
     numeric = numeric or {}
     categorical = categorical or {}
+    for c in (*numeric, *categorical):
+        if ":" in c:
+            raise ValueError(f"drift_report: column name may not contain ':': {c!r}")
     keys = []
     for col, spec in numeric.items():
         width = (spec["hi"] - spec["lo"]) / spec["nbins"]

@@ -77,6 +77,27 @@ def decode_bmp(raw: bytes) -> np.ndarray:
         img = img[::-1]
     if channels == 3:
         img = img[:, :, ::-1]  # BGR -> RGB
+    else:
+        # 8-bit BMP pixels are PALETTE INDICES, not gray levels: resolve
+        # through the color table (BGRX entries after the info header).  A
+        # grayscale palette collapses back to one channel; a color palette
+        # expands to RGB — decoding indices as intensities would silently
+        # produce garbage features for real-world palettized files.
+        n_pal = struct.unpack_from("<I", raw, 46)[0] or 256
+        pal_off = 14 + hdr_size
+        if pal_off + n_pal * 4 > pixel_off or pal_off + n_pal * 4 > len(raw):
+            raise ValueError("bmp_palette_truncated")
+        lut = (
+            np.frombuffer(raw, np.uint8, count=n_pal * 4, offset=pal_off)
+            .reshape(-1, 4)[:, :3][:, ::-1]  # BGR -> RGB
+        )
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("bmp_palette_index_out_of_range")
+        if np.all(lut[:, 0] == lut[:, 1]) and np.all(lut[:, 1] == lut[:, 2]):
+            img = lut[idx, 0][:, :, None]  # grayscale palette -> 1 channel
+        else:
+            img = lut[idx]  # color palette -> RGB
     return np.ascontiguousarray(img)
 
 
@@ -126,7 +147,9 @@ def decode_pnm(raw: bytes) -> np.ndarray:
         fields.append(int(raw[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
-    if maxval > 255 or w <= 0 or h <= 0:
+    # maxval != 255 would need per-sample rescaling (and 2-byte samples when
+    # > 255) — reject rather than silently decode mis-scaled intensities
+    if maxval != 255 or w <= 0 or h <= 0:
         raise ValueError(f"pnm_unsupported:maxval={maxval}")
     need = w * h * channels
     if len(raw) - pos < need:

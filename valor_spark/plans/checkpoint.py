@@ -74,15 +74,6 @@ class RunManifest:
     def completed_shards(self, stage: str) -> set[int]:
         return {r.shard for r in self.records() if r.stage == stage}
 
-    def shard_fingerprints(self, stage: str) -> dict[int, int]:
-        """Latest recorded input fingerprint per shard (last record wins —
-        a recomputed shard appends a fresh record)."""
-        out: dict[int, int] = {}
-        for r in self.records():
-            if r.stage == stage:
-                out[r.shard] = r.fingerprint
-        return out
-
     def shard_rows_fingerprints(self, stage: str) -> dict[int, tuple[int, int]]:
         """Latest recorded (rows, fingerprint) per shard.  Resume compares
         BOTH — the XOR fingerprint alone self-cancels when an even number of

@@ -99,9 +99,14 @@ def shard_fingerprint_frame(
     lengths live in the data pages, so even ``length(bytes)`` forces a full
     payload scan — at 100 TB the resume-decision aggregation must stay a
     metadata-column read, orders of magnitude cheaper than the work it
-    skips.  ``fingerprint_payload=True`` adds length(bytes) for callers
-    whose payloads can change under identical metadata (the audio stage
-    re-verifies payload content whenever it runs in any case).
+    skips.  ``fingerprint_payload`` opts payload coverage in for callers
+    whose payloads can change under identical metadata: any truthy value
+    adds length(bytes); the string ``"content"`` hashes the bytes themselves
+    (catches in-place same-length payload swaps — a full payload scan per
+    resume decision, the price of that guarantee).  With the default
+    metadata-only fingerprint, an in-place payload mutation is outside the
+    resume contract: a checkpointed audio stage will skip on matching
+    metadata.
 
     ``bit_xor``: order-independent combine that cannot overflow (ANSI mode
     makes sum(hash) throw on long overflow); XOR self-cancellation is
@@ -115,11 +120,29 @@ def shard_fingerprint_frame(
         if c in clips.columns
     ]
     if fingerprint_payload and "bytes" in clips.columns:
-        fp_cols.append(F.coalesce(F.length("bytes"), F.lit(-1)))
+        # "content": hash the payload bytes themselves — detects in-place
+        # same-length payload swaps at the cost of a full payload scan per
+        # resume decision; any other truthy value hashes length only
+        if fingerprint_payload == "content":
+            fp_cols.append(F.col("bytes"))
+        else:
+            fp_cols.append(F.coalesce(F.length("bytes"), F.lit(-1)))
     return clips.groupBy(shard_col.alias("shard")).agg(
         F.count(F.lit(1)).alias("rows"),
         F.bit_xor(F.xxhash64(*fp_cols)).alias("fingerprint"),
     )
+
+
+def _cfg_fingerprint(*parts) -> int:
+    """Stable 64-bit hash of a rule/stage configuration, mixed (XOR) into
+    the resume fingerprints so a config change (thresholds, enabled rules,
+    a changed reference table) invalidates checkpointed results the same
+    way a data change does.  md5-based: Python's ``hash()`` is salted per
+    process and useless across runs."""
+    import hashlib
+
+    digest = hashlib.md5(repr(parts).encode()).digest()[:8]
+    return int.from_bytes(digest, "big", signed=True)
 
 
 @dataclass
@@ -132,6 +155,16 @@ class PipelineReport:
     schema_errors: list = dc_field(default_factory=list)
     stage_wall_s: dict = dc_field(default_factory=dict)
     skipped: dict = dc_field(default_factory=dict)
+    _persisted: DataFrame | None = None
+
+    def release(self) -> None:
+        """Unpersist the cached per-shard fingerprint frame.  Call when done
+        with the report in a long-lived session — ``shard_verdicts``/``rows``
+        derive from it and would otherwise pin executor storage memory per
+        run_pipeline call (later actions still work, they just recompute)."""
+        if self._persisted is not None:
+            self._persisted.unpersist()
+            self._persisted = None
 
 
 def _per_shard_metrics(
@@ -187,7 +220,22 @@ def run_pipeline(
     # (resume decisions, verdict assembly, row totals) — without the cache
     # each use re-scans the input's metadata columns
     shards_fp = shard_fingerprint_frame(clips, fingerprint_payload).persist()
+    report._persisted = shards_fp
     shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
+
+    # Reference-table fingerprint: the constraints (referential) and audio
+    # stages consume clips_ref, so their resume validity must cover it —
+    # otherwise a changed/shrunk ref serves stale verdicts on resume.
+    ref_rows, ref_fp = 0, 0
+    if manifest and clips_ref is not None:
+        ref_cols = [
+            F.col(c) for c in ("clip_id", "transcript_ref") if c in clips_ref.columns
+        ] or [F.col(clips_ref.columns[0])]
+        r = clips_ref.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.bit_xor(F.xxhash64(*ref_cols)), F.lit(0)).alias("fp"),
+        ).collect()[0]
+        ref_rows, ref_fp = int(r["rows"]), int(r["fp"])
 
     # ---- stage 0: schema gate -------------------------------------------
     t0 = time.time()
@@ -207,25 +255,43 @@ def run_pipeline(
     # violations partition is dynamically overwritten) --------------------
     t0 = time.time()
     stage = "row_rules"
+    rules = clips_row_rules()
+    if not scan_bytes_in_row_rules:
+        del rules["bytes_present"]
+    # config mixed into the shard fingerprints: enabling/disabling rules
+    # must recompute shards, not serve the old rule set's violations
+    row_cfg = _cfg_fingerprint("row_rules", tuple(sorted(rules)))
     done: set[int] = set()
     shard_stats: dict[int, tuple[int, int]] = {}
+
+    def _current_shards_only(df: DataFrame) -> DataFrame:
+        """Read-backs see the whole stage dir — shards REMOVED from the
+        input since the previous run must not resurface as violations."""
+        return df.filter(F.col("shard").isin([int(s) for s in shard_stats]))
+
+    raw_stats: dict[int, tuple[int, int]] = {}
     if manifest:
-        shard_stats = {
+        raw_stats = {
             int(r["shard"]): (int(r["rows"]), int(r["fingerprint"]))
             for r in shards_fp.collect()
         }
+        # row_cfg only keys THIS stage's resume; global stages derive their
+        # keys from the raw data fingerprints plus their own config hashes
+        shard_stats = {s: (rows, fp ^ row_cfg) for s, (rows, fp) in raw_stats.items()}
         recorded = manifest.shard_rows_fingerprints(stage)
         done = {
             s for s, (rows, fp) in shard_stats.items() if recorded.get(s) == (rows, fp)
         }
     if manifest and done and len(done) == len(shard_stats):
         report.skipped[stage] = sorted(done)
-        vio_frames.append(manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA))
+        vio_frames.append(
+            _current_shards_only(
+                manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+            )
+        )
     else:
         todo = clips.filter(~shard_col.isin([int(s) for s in done])) if done else clips
-        rules = clips_row_rules()
         if not scan_bytes_in_row_rules:
-            del rules["bytes_present"]
             todo = todo.drop("bytes")
         res = validate(
             todo,
@@ -248,26 +314,33 @@ def run_pipeline(
             # metric counts come from the (tiny) written parquet, not the
             # logical plan — counting the plan would re-run the whole
             # validation scan a second time
-            vio = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+            vio = _current_shards_only(
+                manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+            )
             manifest.append(_per_shard_metrics(vio, todo_stats, stage))
         vio_frames.append(vio)
         report.skipped[stage] = sorted(done)
     report.stage_wall_s[stage] = time.time() - t0
 
     # Global (whole-table) stages resume at stage granularity, validated by
-    # the table-level (rows, fingerprint): XOR of per-shard XORs == XOR over
-    # all rows, so this falls out of shard_stats for free.  Note: the audio
-    # stage's fingerprint covers the CLIPS input; a changed clips_ref needs a
-    # fresh checkpoint dir.
-    global_rows = sum(rows for rows, _ in shard_stats.values())
+    # a table-level (rows, fingerprint) key covering BOTH inputs (XOR of
+    # per-shard XORs == XOR over all clips rows; the ref table's fingerprint
+    # and each stage's config hash are mixed in, so a changed clips_ref or a
+    # changed threshold recomputes instead of serving stale results).
+    global_rows = sum(rows for rows, _ in raw_stats.values())
     global_fp = 0
-    for _, fp in shard_stats.values():
+    for _, fp in raw_stats.values():
         global_fp ^= fp
+    key_rows = global_rows + ref_rows
+    cons_fp = global_fp ^ ref_fp ^ _cfg_fingerprint(
+        "constraints", clips_ref is not None
+    )
+    audio_fp = global_fp ^ ref_fp ^ _cfg_fingerprint("audio", snr_db_min)
 
     # ---- stage 2: whole-table constraints (global resume) ---------------
     t0 = time.time()
     stage = "constraints"
-    if manifest and manifest.stage_done_for(stage, global_rows, global_fp):
+    if manifest and manifest.stage_done_for(stage, key_rows, cons_fp):
         vio_frames.append(manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA))
         report.skipped[stage] = [GLOBAL_SHARD]
     else:
@@ -282,8 +355,8 @@ def run_pipeline(
             cons = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
             n = cons.count()
             manifest.mark_global(
-                stage, rows=global_rows, violations=n,
-                wall_s=time.time() - t0, fingerprint=global_fp,
+                stage, rows=key_rows, violations=n,
+                wall_s=time.time() - t0, fingerprint=cons_fp,
             )
         vio_frames.append(cons)
     report.stats = C.column_stats(
@@ -295,7 +368,7 @@ def run_pipeline(
     if clips_ref is not None and "pcm_ref" in clips_ref.columns:
         t0 = time.time()
         stage = "audio"
-        if manifest and manifest.stage_done_for(stage, global_rows, global_fp):
+        if manifest and manifest.stage_done_for(stage, key_rows, audio_fp):
             vio_frames.append(
                 manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
             )
@@ -322,8 +395,8 @@ def run_pipeline(
                 vio = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
                 n = vio.count()
                 manifest.mark_global(
-                    stage, rows=global_rows, violations=n,
-                    wall_s=time.time() - t0, fingerprint=global_fp,
+                    stage, rows=key_rows, violations=n,
+                    wall_s=time.time() - t0, fingerprint=audio_fp,
                 )
             vio_frames.append(vio)
         report.stage_wall_s[stage] = time.time() - t0
@@ -376,7 +449,7 @@ def run_pipeline(
     )
     report.rows = (
         global_rows
-        if shard_stats
+        if raw_stats
         else sum(r["rows"] for r in shards_fp.select("rows").collect())
     )
     report.stage_wall_s["verdicts"] = time.time() - t0

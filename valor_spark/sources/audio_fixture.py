@@ -97,7 +97,6 @@ def build_audio_fixture(fixture_dir: str) -> dict[str, str]:
     os.makedirs(fixture_dir, exist_ok=True)
 
     specs = expected_clips(N_CLIPS, MAX_SAMPLES)
-    originals = {s.clip_id: s for s in specs if not s.is_dup and not s.is_hot}
 
     clips_rows = []
     for s in specs:
