@@ -303,3 +303,13 @@ def test_checkpoint_manifest_has_lineage(spark, tables, tmp_path_factory):
     assert all(r.fingerprint != 0 for r in row_recs)
     # fingerprints are per-shard content hashes: all distinct here
     assert len({r.fingerprint for r in row_recs}) == 8
+    # per-rule metrics ride the lineage (north_rule): plants are sparse per
+    # shard, but corpus-wide each rule fires, and per shard the rule counts
+    # must sum to the recorded total
+    total_by_rule: dict = {}
+    for r in row_recs:
+        for rule, n in r.by_rule.items():
+            total_by_rule[rule] = total_by_rule.get(rule, 0) + n
+    assert total_by_rule.get("transcript_nonempty", 0) > 0
+    assert total_by_rule.get("sr_valid", 0) > 0
+    assert all(sum(r.by_rule.values()) == r.violations for r in row_recs)

@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from dataclasses import asdict, dataclass
+from dataclasses import asdict, dataclass, field as dc_field
 
 from pyspark.sql import DataFrame
 
@@ -46,6 +46,9 @@ class ShardRecord:
     wall_s: float
     fingerprint: int
     finished_at: float
+    #: per-rule violation counts for this (stage, shard) — the north_rule's
+    #: "per-partition lineage + rule metrics"; empty for legacy records
+    by_rule: dict = dc_field(default_factory=dict)
 
 
 class RunManifest:

@@ -171,11 +171,17 @@ def _per_shard_metrics(
     vio: DataFrame, shard_stats: dict, stage: str
 ) -> list[ShardRecord]:
     """Per-shard metric records: (rows, fingerprint) from the input stats,
-    violation counts from the stage output."""
-    vio_counts = {
-        r["shard"]: r["n"]
-        for r in vio.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    total AND per-rule violation counts from the stage output (one groupBy
+    over the tiny written parquet — the north_rule's per-partition lineage
+    + rule metrics)."""
+    by_shard_rule = vio.groupBy("shard", "rule").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    vio_counts: dict = {}
+    rule_counts: dict = {}
+    for r in by_shard_rule:
+        vio_counts[r["shard"]] = vio_counts.get(r["shard"], 0) + r["n"]
+        rule_counts.setdefault(r["shard"], {})[r["rule"]] = r["n"]
     now = time.time()
     return [
         ShardRecord(
@@ -186,6 +192,7 @@ def _per_shard_metrics(
             wall_s=0.0,
             fingerprint=fp,
             finished_at=now,
+            by_rule=rule_counts.get(s, {}),
         )
         for s, (rows, fp) in shard_stats.items()
     ]
