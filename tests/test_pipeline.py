@@ -64,10 +64,14 @@ def test_no_drift_on_clean_input(report):
 
 def test_shard_verdicts_cover_all_shards(report):
     rows = report.shard_verdicts.collect()
-    assert {r["shard"] for r in rows} == set(range(8))
+    # table-level violations (uniqueness, referential) carry shard=NULL and
+    # surface as the GLOBAL (-1) verdict row — they must not vanish
+    assert {r["shard"] for r in rows} == set(range(8)) | {-1}
     assert sum(r["rows"] for r in rows) == N
     # with planted violations at every stride, no shard is fully clean at N=2200
     assert all(r["violations"] > 0 for r in rows)
+    glob = [r for r in rows if r["shard"] == -1][0]
+    assert glob["violations"] > 0 and glob["passed"] is False
 
 
 def test_schema_gate_flags_bad_frame(spark, tables):
@@ -288,6 +292,29 @@ def test_resume_drops_violations_of_removed_shards(spark, tmp_path_factory):
     assert r2.skipped["row_rules"] == [0]
     assert r2.violations.count() == 0  # shard 1's stale rows filtered out
     assert r2.rows == 10
+
+
+def test_null_shard_rows_tolerated_and_revalidated(spark, tmp_path_factory):
+    """Regression: a NULL shard value (dirty metadata) crashed checkpointed
+    runs on int(None) and silently escaped the resume filter; NULL shards
+    now group under the UNSHARDED (-2) pseudo-shard and validate normally."""
+    clips = _clean_clips(spark, n=10, n_shards=2)
+    nulled = clips.withColumn(
+        "shard", F.when(F.col("clip_id") == "clean_0003", F.lit(None)).otherwise(F.col("shard"))
+    ).withColumn(
+        "transcript",
+        F.when(F.col("clip_id") == "clean_0003", F.lit("")).otherwise(F.col("transcript")),
+    )
+    ckpt = str(tmp_path_factory.mktemp("ckpt_nullshard"))
+    rep = run_pipeline(spark, nulled, None, checkpoint_dir=ckpt)
+    vio = rep.violations.collect()
+    assert [(r["clip_id"], r["shard"], r["error"]) for r in vio] == [
+        ("clean_0003", -2, "TranscriptEmpty")
+    ]
+    # resume over the identical input skips everything, including -2
+    rep2 = run_pipeline(spark, nulled, None, checkpoint_dir=ckpt)
+    assert sorted(rep2.skipped["row_rules"]) == [-2, 0, 1]
+    assert rep2.violations.count() == 1
 
 
 def test_checkpoint_manifest_has_lineage(spark, tables, tmp_path_factory):

@@ -121,3 +121,17 @@ def test_column_stats(clips_df, oracle):
     # approx_count_distinct within 10% of truth
     true_distinct = len({s.clip_id for s in oracle})
     assert abs(stats["clip_id"]["approx_distinct"] - true_distinct) / true_distinct < 0.1
+
+
+def test_column_stats_string_ranges(clips_df):
+    """String columns report their lexicographic range in min_str/max_str
+    (the double min/max slots stay NULL for them, and vice versa)."""
+    stats = {r["column"]: r for r in C.column_stats(
+        clips_df.select("clip_id", "dur_ms")
+    ).collect()}
+    s = stats["clip_id"]
+    assert s["min"] is None and s["max"] is None
+    assert s["min_str"] is not None and s["min_str"] <= s["max_str"]
+    d = stats["dur_ms"]
+    assert d["min_str"] is None and d["max_str"] is None
+    assert d["min"] is not None

@@ -142,6 +142,48 @@ def test_multimodal_features(spark):
     assert out[99]["error"] == "null_bytes"
 
 
+def test_cosine_zero_vector_guard(spark):
+    """Regression: a zero-norm embedding must score 0.0 against everything —
+    previously ANSI mode aborted the job with DIVIDE_BY_ZERO (and with ANSI
+    off, NaN sorted above every real score, ranking the zero vector as
+    everyone's top neighbor)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = SIM.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [(r["neighbor_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0][0] == 1                      # real neighbor first
+    assert ranked[1] == (2, 0.0)                  # zero vector scores 0.0, last
+    # bucketed variants survive too
+    assert SIM.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") == 0), k=1,
+                               n_centroids=2, n_probe=2).count() >= 1
+
+
+def test_bigrams_null_text_yields_no_bigrams(spark):
+    """Regression: size(NULL)=NULL fell through the <2 guard and emitted a
+    [NULL, NULL] phantom bigram per null document, polluting top-k."""
+    from valor_spark.operators.text import bigrams, top_bigrams
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, None), (2, None)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: list(r["b"]) for r in df.select(
+        "doc_id", bigrams(F.col("text")).alias("b")).collect()}
+    assert got[1] == [] and got[2] == []
+    top = [(r["bigram"], r["n"]) for r in top_bigrams(df, k=5).collect()]
+    assert top == [("a b", 1)]  # no phantom NULL bigram with n=2
+
+
+def test_frame_sample_plan_zero_and_null_frames(spark):
+    """Regression: n_frames=0/NULL emitted a spurious frame_idx=0 row."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, None)], "vid int, n_frames int"
+    )
+    got = MM.frame_sample_plan(df, "n_frames", every_k=4).collect()
+    assert {r["vid"] for r in got} == {1}
+
+
 def test_bmp_pnm_roundtrip_unit():
     """Real image decode (numpy-only): encode->decode is the identity for
     24-bit RGB and 8-bit gray BMP; PGM/PPM parse with comments; truncated

@@ -34,10 +34,6 @@ from pyspark.sql import types as T
 VIOLATION_SCHEMA = "clip_id string, shard int, rule string, path string, error string"
 
 
-def _empty_violations(spark) -> DataFrame:
-    return spark.createDataFrame([], VIOLATION_SCHEMA)
-
-
 # ---------------------------------------------------------------------------
 # schema gate
 # ---------------------------------------------------------------------------
@@ -70,15 +66,20 @@ def schema_violations(df: DataFrame, expected: T.StructType) -> list[str]:
 
 def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
     """One full-scan aggregation producing a tall stats table:
-    (column, count, nulls, approx_distinct, min, max, mean, stddev).
+    (column, count, nulls, approx_distinct, min, max, mean, stddev,
+    min_str, max_str).
 
-    min/max/mean/stddev are NULL for non-numeric columns; min/max are
-    computed for strings too (lexicographic)."""
+    min/max/mean/stddev are populated for numeric columns; string columns
+    get their LEXICOGRAPHIC range in min_str/max_str (a separate pair —
+    they cannot share the double min/max slots)."""
     cols = list(columns) if columns else df.columns
     numeric = {
         f.name
         for f in df.schema.fields
         if isinstance(f.dataType, (T.NumericType,))
+    }
+    stringy = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
     }
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for c in cols:
@@ -91,7 +92,14 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFra
                 F.avg(c).alias(f"mean__{c}"),
                 F.stddev(c).alias(f"std__{c}"),
             ]
+        elif c in stringy:
+            aggs += [
+                F.min(c).alias(f"smin__{c}"),
+                F.max(c).alias(f"smax__{c}"),
+            ]
     wide = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
     # unpivot driver-side-free: build one struct per column then explode
     entries = []
     for c in cols:
@@ -101,10 +109,12 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFra
                 F.col("__rows").alias("count"),
                 F.col(f"nulls__{c}").alias("nulls"),
                 F.col(f"dist__{c}").alias("approx_distinct"),
-                (F.col(f"min__{c}") if c in numeric else F.lit(None).cast("double")).alias("min"),
-                (F.col(f"max__{c}") if c in numeric else F.lit(None).cast("double")).alias("max"),
-                (F.col(f"mean__{c}") if c in numeric else F.lit(None).cast("double")).alias("mean"),
-                (F.col(f"std__{c}") if c in numeric else F.lit(None).cast("double")).alias("stddev"),
+                (F.col(f"min__{c}") if c in numeric else null_d).alias("min"),
+                (F.col(f"max__{c}") if c in numeric else null_d).alias("max"),
+                (F.col(f"mean__{c}") if c in numeric else null_d).alias("mean"),
+                (F.col(f"std__{c}") if c in numeric else null_d).alias("stddev"),
+                (F.col(f"smin__{c}") if c in stringy else null_s).alias("min_str"),
+                (F.col(f"smax__{c}") if c in stringy else null_s).alias("max_str"),
             )
         )
     return wide.select(F.explode(F.array(*entries)).alias("s")).select("s.*")

@@ -144,6 +144,12 @@ def minhash_lsh_pairs(
     Sign -> band buckets (band id + hash of the band's rows) -> docs sharing
     any bucket are candidates -> verified with true token-set Jaccard.
     Returns (doc1, doc2, jaccard >= threshold)."""
+    if k % bands:
+        raise ValueError(
+            f"minhash_lsh_pairs: bands ({bands}) must divide k ({k}) — "
+            "otherwise the trailing signature rows are computed but never "
+            "hashed into any band, silently lowering recall"
+        )
     rows_per_band = k // bands
     # tokenize ONCE per row in a lower Project; the k-hash signature reads
     # the materialized array (CollapseProject keeps a multiply-referenced

@@ -26,6 +26,29 @@ from pyspark.sql.window import Window
 EPS = 1e-9
 
 
+def _bin_expr(col: str, lo: float, hi: float, nbins: int):
+    """Uniform-bin index Column: floor((x - lo)/width) clamped to
+    [0, nbins-1] — the ONE definition both numeric_histogram and
+    drift_report use (duplicated copies drift apart)."""
+    width = (hi - lo) / nbins
+    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
+    return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), b)).cast("int")
+
+
+def _baseline_bins(base_rows, col: str, lo: float, hi: float, nbins: int) -> dict:
+    """Map a baseline table's (bin_lo, expected_share) rows for ``col`` to
+    {bin_index: share}.  round, not floor: bin_lo = lo + k*width accumulates
+    fp error and floor would misassign a bin edge to k-1."""
+    width = (hi - lo) / nbins
+    base: dict = {}
+    for r in base_rows:
+        if r["column_name"] != col:
+            continue
+        b = int(min(nbins - 1, max(0, round((r["bin_lo"] - lo) / width))))
+        base[b] = base.get(b, 0.0) + r["expected_share"]
+    return base
+
+
 def numeric_histogram(
     df: DataFrame, col: str, lo: float, hi: float, nbins: int
 ) -> DataFrame:
@@ -34,12 +57,9 @@ def numeric_histogram(
     Values outside [lo, hi) clamp to the edge bins (bin 0 / nbins-1); NULLs
     are dropped.  One shuffle of at most ``nbins`` rows after map-side
     partial aggregation — skew-free by construction."""
-    width = (hi - lo) / nbins
-    b = F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width))
-    b = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), b)).cast("int")
     return (
         df.filter(F.col(col).isNotNull())
-        .groupBy(b.alias("bin"))
+        .groupBy(_bin_expr(col, lo, hi, nbins).alias("bin"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -100,14 +120,7 @@ def ks_drift(
     ``column_name == col`` whose bins must be the same uniform grid."""
     obs_rows = numeric_histogram(df, col, lo, hi, nbins).collect()
     obs = {r["bin"]: r["cnt"] for r in obs_rows}
-    width = (hi - lo) / nbins
-    base_rows = baseline.filter(F.col("column_name") == col).collect()
-    base = {}
-    for r in base_rows:
-        # round, not floor: bin_lo = lo + k*width accumulates fp error and
-        # floor would misassign a bin edge to k-1
-        b = int(min(nbins - 1, max(0, round((r["bin_lo"] - lo) / width))))
-        base[b] = base.get(b, 0.0) + r["expected_share"]
+    base = _baseline_bins(baseline.collect(), col, lo, hi, nbins)
     return DriftResult(col, "ks", ks_statistic(obs, base), threshold)
 
 
@@ -148,9 +161,7 @@ def drift_report(
             raise ValueError(f"drift_report: column name may not contain ':': {c!r}")
     keys = []
     for col, spec in numeric.items():
-        width = (spec["hi"] - spec["lo"]) / spec["nbins"]
-        b = F.floor((F.col(col).cast("double") - F.lit(spec["lo"])) / F.lit(width))
-        b = F.greatest(F.lit(0), F.least(F.lit(spec["nbins"] - 1), b)).cast("int")
+        b = _bin_expr(col, spec["lo"], spec["hi"], spec["nbins"])
         cond = F.col(col).isNotNull()
         if spec.get("pred") is not None:
             cond = cond & spec["pred"]
@@ -177,20 +188,11 @@ def drift_report(
     base_rows = baseline.collect()
     results = []
     for col, spec in numeric.items():
-        width = (spec["hi"] - spec["lo"]) / spec["nbins"]
-        base: dict = {}
-        for r in base_rows:
-            if r["column_name"] != col:
-                continue
-            b = int(
-                min(spec["nbins"] - 1, max(0, round((r["bin_lo"] - spec["lo"]) / width)))
-            )
-            base[str(b)] = base.get(str(b), 0.0) + r["expected_share"]
+        base = _baseline_bins(base_rows, col, spec["lo"], spec["hi"], spec["nbins"])
         # string keys sort lexicographically; KS needs NUMERIC bin order
         o = {int(k): v for k, v in obs.get(("n", col), {}).items()}
-        b2 = {int(k): v for k, v in base.items()}
         results.append(
-            DriftResult(col, "ks", ks_statistic(o, b2), spec.get("threshold", 0.1))
+            DriftResult(col, "ks", ks_statistic(o, base), spec.get("threshold", 0.1))
         )
     for col, spec in categorical.items():
         base = {

@@ -218,7 +218,10 @@ def image_features(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id",
                 "width": [None] * n,
                 "height": [None] * n,
                 "channels": [None] * n,
-                "mean_intensity": np.zeros(n),
+                # object dtype: failed rows stay NULL — a 0.0 placeholder
+                # reads as a plausible "all-black image" to consumers that
+                # filter on intensity without joining error
+                "mean_intensity": [None] * n,
                 "feature_dim": np.full(n, dim, dtype=np.int32),
                 "features": [None] * n,
                 "error": [None] * n,
@@ -258,10 +261,17 @@ def image_features(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id",
 def frame_sample_plan(df: DataFrame, n_frames_col: str, every_k: int) -> DataFrame:
     """Video frame-sampling *plan*: expands (id, n_frames) to one row per
     sampled frame index — pure Column ops (sequence + explode); the actual
-    frame decode would plug into :func:`image_features`."""
+    frame decode would plug into :func:`image_features`.  Videos with zero
+    or NULL frame counts yield NO sample rows (explode drops empty/NULL
+    arrays) — a frame_idx=0 row for an empty video would drive a decode of
+    a frame that does not exist."""
+    n = F.col(n_frames_col)
+    seq = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(every_k))
+    # slice(seq, 1, 0) = empty array of seq's own element type (works for
+    # int and bigint frame counts alike)
     return df.select(
         "*",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_k))
-        ).alias("frame_idx"),
+        F.explode(F.when(n >= 1, seq).otherwise(F.slice(seq, 1, 0))).alias(
+            "frame_idx"
+        ),
     )

@@ -38,7 +38,13 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity with a zero-norm guard: a zero vector has no
+    direction, so its similarity to anything is 0.0 — without the guard,
+    Spark 4 ANSI mode aborts the whole job with DIVIDE_BY_ZERO, and with
+    ANSI off the NaN result sorts ABOVE every real score, ranking the zero
+    vector as everyone's top neighbor."""
+    den = norm(a) * norm(b)
+    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
 
 
 def cosine_topk(

@@ -147,8 +147,11 @@ def bigrams(col: Column) -> Column:
     """Adjacent token pairs as 'a b' strings (order-preserving).
     SQL equivalent: list_transform over 1..len-1 with array indexing."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
-    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+    # coalesce: size(NULL)=NULL under ANSI, which would fall through the <2
+    # guard and emit a [NULL, NULL] phantom bigram for every null document
+    n = F.coalesce(F.size(toks), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0)))
+    return F.when(n < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             idx,
             lambda i: F.concat(

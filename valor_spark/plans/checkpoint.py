@@ -74,9 +74,6 @@ class RunManifest:
                     continue
         return out
 
-    def completed_shards(self, stage: str) -> set[int]:
-        return {r.shard for r in self.records() if r.stage == stage}
-
     def shard_rows_fingerprints(self, stage: str) -> dict[int, tuple[int, int]]:
         """Latest recorded (rows, fingerprint) per shard.  Resume compares
         BOTH — the XOR fingerprint alone self-cancels when an even number of
@@ -86,9 +83,6 @@ class RunManifest:
             if r.stage == stage:
                 out[r.shard] = (r.rows, r.fingerprint)
         return out
-
-    def stage_done(self, stage: str) -> bool:
-        return GLOBAL_SHARD in self.completed_shards(stage)
 
     def stage_done_for(self, stage: str, rows: int, fingerprint: int) -> bool:
         """Stage-granular resume with input validation: the recorded global

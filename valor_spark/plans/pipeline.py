@@ -39,6 +39,18 @@ CLIPS_SCHEMA = T.StructType(
 ALLOWED_SR = [8000, 16000, 22050, 24000, 44100, 48000]
 ALLOWED_CODECS = ["pcm_s16le", "wav"]
 
+#: rows whose shard value is NULL (dirty metadata — exactly what a
+#: validation engine must tolerate) group under this pseudo-shard instead of
+#: crashing the fingerprint collect or silently escaping the resume filter
+#: (NULL `isin` evaluates to NULL -> filtered out -> never re-validated)
+UNSHARDED = -2
+
+
+def _shard_col(has_shard: bool):
+    if not has_shard:
+        return F.lit(0).cast("int")
+    return F.coalesce(F.col("shard").cast("int"), F.lit(UNSHARDED))
+
 
 def clips_row_rules() -> dict:
     """Per-row schema/sanity rules over the input_hint columns — all pure
@@ -113,7 +125,7 @@ def shard_fingerprint_frame(
     handled by comparing (rows, fingerprint) PAIRS, never fingerprint alone.
     """
     has_shard = "shard" in clips.columns
-    shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
+    shard_col = _shard_col(has_shard)
     fp_cols = [
         F.col(c)
         for c in ("clip_id", "sr_hz", "dur_ms", "codec", "transcript")
@@ -220,7 +232,6 @@ def run_pipeline(
         scan_bytes_in_row_rules = clips_ref is None or "pcm_ref" not in clips_ref.columns
     manifest = RunManifest(checkpoint_dir) if checkpoint_dir else None
     vio_frames: list[DataFrame] = []
-    empty_vio = spark.createDataFrame([], C.VIOLATION_SCHEMA)
 
     has_shard = "shard" in clips.columns
     # persist: this 1-row-per-shard aggregate is consumed up to three times
@@ -228,7 +239,7 @@ def run_pipeline(
     # each use re-scans the input's metadata columns
     shards_fp = shard_fingerprint_frame(clips, fingerprint_payload).persist()
     report._persisted = shards_fp
-    shard_col = F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
+    shard_col = _shard_col(has_shard)
 
     # Reference-table fingerprint: the constraints (referential) and audio
     # stages consume clips_ref, so their resume validity must cover it —
@@ -308,7 +319,7 @@ def run_pipeline(
         )
         vio = res.violations().select(
             "clip_id",
-            (F.col("shard") if has_shard else F.lit(0)).cast("int").alias("shard"),
+            _shard_col(has_shard).alias("shard"),
             "rule",
             "path",
             "error",
@@ -390,9 +401,7 @@ def run_pipeline(
             )
             vio = res.violations().select(
                 "clip_id",
-                (F.col("shard") if "shard" in inv.columns else F.lit(0))
-                .cast("int")
-                .alias("shard"),
+                _shard_col("shard" in inv.columns).alias("shard"),
                 "rule",
                 "path",
                 "error",
@@ -435,17 +444,22 @@ def run_pipeline(
 
     # ---- stage 5: verdict assembly ---------------------------------------
     t0 = time.time()
-    all_vio = vio_frames[0] if vio_frames else empty_vio
+    all_vio = vio_frames[0]  # stage 1 always contributes a frame
     for v in vio_frames[1:]:
         all_vio = all_vio.unionByName(v)
     report.violations = all_vio
-    report.shard_verdicts = (
+    # Table-level violations (uniqueness, referential orphans, schema,
+    # drift) carry shard=NULL — they must not vanish from the verdicts
+    # (a NULL key never matches a left join).  They aggregate under the
+    # GLOBAL_SHARD (-1) verdict row, present only when such violations
+    # exist, so a failing table can never read as all-shards-passed
+    # without a failing global row beside them.
+    vio_counts = all_vio.groupBy(
+        F.coalesce(F.col("shard"), F.lit(GLOBAL_SHARD)).alias("shard")
+    ).agg(F.count(F.lit(1)).alias("violations"))
+    per_shard = (
         shards_fp.alias("s")
-        .join(
-            all_vio.groupBy("shard").agg(F.count(F.lit(1)).alias("violations")),
-            on="shard",
-            how="left",
-        )
+        .join(vio_counts, on="shard", how="left")
         .select(
             "shard",
             "rows",
@@ -454,6 +468,14 @@ def run_pipeline(
             "fingerprint",
         )
     )
+    global_verdict = vio_counts.filter(F.col("shard") == GLOBAL_SHARD).select(
+        F.lit(GLOBAL_SHARD).alias("shard"),
+        F.lit(0).cast("long").alias("rows"),
+        F.col("violations"),
+        F.lit(False).alias("passed"),
+        F.lit(0).cast("long").alias("fingerprint"),
+    )
+    report.shard_verdicts = per_shard.unionByName(global_verdict)
     report.rows = (
         global_rows
         if raw_stats
