@@ -597,7 +597,12 @@ def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint_dir=tempfile.mkdtemp(prefix="gate_stream_ckpt_"),
         trigger_once=True,
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(300):
+        # a partial result would hash-compare nondeterministically against
+        # the full-union oracle, and the stream would keep running under
+        # the remaining gate queries — fail loudly instead
+        q.stop()
+        raise RuntimeError("stream_validate: StreamingQuery did not finish in 300s")
     return spark.createDataFrame(
         [(r["id"], r["rule"], r["error"]) for r in collected],
         "id int, rule string, error string",

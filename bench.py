@@ -422,7 +422,10 @@ def main() -> None:
     spark.stop()
     queries["clips_pipeline"] = pipe["pipeline_sec"]
     total = round(sum(queries.values()), 3)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = None  # non-sfN dir name must not crash the contract output
     print(
         json.dumps(
             {
@@ -430,7 +433,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
-                "sf": float(sf) if sf else None,
+                "sf": sf,
                 "clips": pipe["clips"],
                 "clips_per_sec": pipe["clips_per_sec"],
                 "violations": pipe["violations"],

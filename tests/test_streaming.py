@@ -134,6 +134,38 @@ def test_streaming_duplicate_detection_across_batches(spark, tmp_path_factory):
     assert not any(r[0] == "c" for r in rows)
 
 
+def test_streaming_duplicates_emit_one_row_per_occurrence(spark, tmp_path_factory):
+    """Per-duplicate accounting (matching the batch engine): a key appearing
+    3x in one batch emits TWO violation rows (n_seen 2 and 3), not one."""
+    from valor_spark.streaming.validate_stream import streaming_duplicate_clips
+
+    src = str(tmp_path_factory.mktemp("dupsrc3"))
+    ckpt = str(tmp_path_factory.mktemp("dupckpt3"))
+    spark.createDataFrame(
+        [("k",), ("k",), ("k",), ("solo",)], "clip_id string"
+    ).coalesce(1).write.parquet(f"{src}/f1")
+    q = (
+        streaming_duplicate_clips(
+            spark.readStream.schema("clip_id string").parquet(f"{src}/f*")
+        )
+        .writeStream.format("memory")
+        .queryName("dups3")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["clip_id"], r["n_seen"], r["error"])
+        for r in spark.sql("select * from dups3").collect()
+    )
+    assert rows == [
+        ("k", 2, "DuplicateKey:n=2"),
+        ("k", 3, "DuplicateKey:n=3"),
+    ]
+
+
 def test_streaming_uniqueness_state_ttl_evicts(spark, tmp_path_factory):
     """State-TTL: a key idle past the TTL is evicted (bounded state store),
     so its next occurrence counts as first-seen — no violation.  Timeout

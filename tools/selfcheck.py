@@ -35,6 +35,8 @@ def norm_cell(v):
     if isinstance(v, float):
         if v != v:
             return "nan"
+        if v == 0.0:
+            v = 0.0  # fold -0.0 (engines disagree on round()'s signed zero)
         return f"{v:.6f}".rstrip("0").rstrip(".")
     if isinstance(v, bool):
         return str(int(v))
@@ -104,11 +106,6 @@ def main(sf_dir: str, partitions: int = 8) -> int:
             hs, ho = value_hash(srows, scols), value_hash(orows, ocols)
             if hs != ho:
                 problems.append(f"hash {hs} != {ho}")
-                # show a sample diff
-                sset = {
-                    "|".join(norm_cell(v) for v in sorted(zip(scols, r))[0:99])
-                    for r in ({tuple(sorted(zip(scols, r))) for r in srows})
-                }
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")

@@ -35,7 +35,22 @@ def main() -> None:
     clips = load_clips(spark, args.source)
     ref = None
     if args.ref:
-        ref = load_clips(spark, args.ref)
+        if args.ref.startswith("synthetic:"):
+            # the synthetic REF generator (pcm_ref/transcript_ref), not the
+            # clips generator — load_clips would hand back a clips-schema
+            # table and the audio stage would silently skip
+            from valor_spark.sources.synthetic import clips_ref
+
+            ref = clips_ref(spark, n=int(args.ref.split(":")[1]))
+        else:
+            ref = load_clips(spark, args.ref)
+        missing = {"clip_id", "pcm_ref", "transcript_ref"} - set(ref.columns)
+        if missing:
+            raise SystemExit(
+                f"--ref table is missing reference columns {sorted(missing)}; "
+                "the audio invariant stage needs (clip_id, pcm_ref, "
+                "transcript_ref) — it would otherwise be skipped silently"
+            )
     elif args.source.startswith("synthetic:"):
         from valor_spark.sources.synthetic import clips_ref
 

@@ -32,6 +32,17 @@ N_CLIPS = 3000
 MAX_SAMPLES = 256
 SNR_DB_MIN = 30.0
 N_HEADER_MISMATCH = 5
+#: bump when the expected-violation DERIVATION logic changes — the version
+#: and the constants are baked into the fixture filenames, so a stale
+#: .fixtures dir can never grade new code against old ground truth
+FIXTURE_VERSION = 1
+
+
+def _fixture_tag() -> str:
+    import hashlib
+
+    cfg = repr((FIXTURE_VERSION, N_CLIPS, MAX_SAMPLES, SNR_DB_MIN, N_HEADER_MISMATCH))
+    return hashlib.md5(cfg.encode()).hexdigest()[:8]
 
 
 def _spark_round_str(v: float, digits: int = 2) -> str:
@@ -88,8 +99,9 @@ def build_audio_fixture(fixture_dir: str) -> dict[str, str]:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    tag = _fixture_tag()
     paths = {
-        name: os.path.join(fixture_dir, f"clips_audio_{name}.parquet")
+        name: os.path.join(fixture_dir, f"clips_audio_{name}_{tag}.parquet")
         for name in ("clips", "ref", "expected")
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -103,14 +115,13 @@ def build_audio_fixture(fixture_dir: str) -> dict[str, str]:
         clips_rows.append(
             (s.clip_id, _clip_bytes(s), s.sr_hz, s.dur_ms, s.codec, s.transcript)
         )
+    from valor_spark.sources.rowspec import ref_transcript
+
     ref_rows = []
     for s in specs:
         if not s.is_dup and not s.is_hot and ref_present(s):
             pcm = S.synth_pcm(s.g, s.sr_hz, s.dur_ms, MAX_SAMPLES, False)
-            tr = s.transcript + (
-                " extra" if s.i % S.MISMATCH_TRANSCRIPT_STRIDE == 5 else ""
-            )
-            ref_rows.append((s.clip_id, pcm.tobytes(), tr))
+            ref_rows.append((s.clip_id, pcm.tobytes(), ref_transcript(s)))
 
     expected_rows = []
     ref_ids = {r[0] for r in ref_rows}

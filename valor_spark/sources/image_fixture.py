@@ -17,6 +17,9 @@ import numpy as np
 
 N_IMAGES = 120
 FEATURE_DIM = 4
+#: bump when the expected-stats derivation changes (baked into filenames so
+#: stale .fixtures can't grade new code against old ground truth)
+FIXTURE_VERSION = 1
 
 
 def _round_half_up(v: float, digits: int) -> float:
@@ -68,8 +71,13 @@ def build_image_fixture(fixture_dir: str) -> dict[str, str]:
 
     from valor_spark.operators.multimodal import block_features, fake_decode
 
+    import hashlib
+
+    tag = hashlib.md5(
+        repr((FIXTURE_VERSION, N_IMAGES, FEATURE_DIM)).encode()
+    ).hexdigest()[:8]
     paths = {
-        name: os.path.join(fixture_dir, f"images_{name}.parquet")
+        name: os.path.join(fixture_dir, f"images_{name}_{tag}.parquet")
         for name in ("data", "expected")
     }
     if all(os.path.exists(p) for p in paths.values()):

@@ -38,9 +38,12 @@ def load_clips(
 
         df = clips(spark, n=int(rest), **options)
     elif kind == "parquet":
-        df = spark.read.parquet(rest)
+        # forward reader options (mergeSchema, ...) — silently dropping them
+        # would read the wrong schema while the caller believes they applied
+        df = spark.read.options(**options).parquet(rest)
     elif kind == "iceberg":
-        df = spark.read.format("iceberg").load(rest)
+        # snapshot-id / as-of-timestamp etc. ride through to the Iceberg source
+        df = spark.read.format("iceberg").options(**options).load(rest)
     else:
         raise ValueError(f"unknown clips source: {source!r}")
     if columns:

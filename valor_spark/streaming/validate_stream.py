@@ -24,27 +24,19 @@ from typing import Callable, Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from valor_spark.functions.errtypes import WRONG
 from valor_spark.functions.rules import Rule
-from valor_spark.plans.engine import VERDICT_PREFIX, validate, violations_array
+from valor_spark.plans.engine import validate
 
 
 def attach_rules(stream_df: DataFrame, rules: Mapping[str, Rule]) -> DataFrame:
-    """Add one verdict struct per rule + a ``__violations`` array column to a
-    (possibly streaming) DataFrame — a single narrow select."""
-    row = F.struct(*[F.col(c) for c in stream_df.columns])
-    out = stream_df.select(
-        "*", *[rules[n](row).alias(VERDICT_PREFIX + n) for n in rules]
-    )
-    vio = None
-    for n in rules:
-        arr = violations_array(n, rules[n].etype, F.col(VERDICT_PREFIX + n))
-        vio = arr if vio is None else F.concat(vio, arr)
-    wrong_any = None
-    for n in rules:
-        w = F.col(VERDICT_PREFIX + n).getField(WRONG)
-        wrong_any = w if wrong_any is None else (wrong_any | w)
-    return out.withColumn("__violations", vio).withColumn("__wrong", wrong_any)
+    """Add one verdict struct per rule + ``__violations`` / ``__wrong``
+    columns to a (possibly streaming) DataFrame — a single narrow select.
+
+    Delegates to the batch engine's validate() (a pure select works on
+    streaming plans unchanged), so verdict/violation assembly has exactly
+    one implementation and batch/stream outputs cannot drift apart."""
+    res = validate(stream_df, rules)
+    return res.annotated.withColumn("__wrong", res._wrong_any)
 
 
 def validate_stream(
@@ -114,15 +106,18 @@ def streaming_duplicate_clips(
         state.update((total,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
-        # first-ever occurrence is fine; everything beyond 1 is a duplicate
-        n_dups = total - max(1, seen) if seen else total - 1
+        # every occurrence AFTER the first ever emits its own violation row
+        # (n_seen = that occurrence's cumulative index) — matching the batch
+        # engine's per-duplicate accounting, not one row per (key, batch)
+        n_dups = total - max(1, seen)
         if n_dups > 0:
+            ns = list(range(total - n_dups + 1, total + 1))
             yield pd.DataFrame(
                 {
-                    key_col: [key[0]],
-                    "n_seen": [total],
-                    "rule": ["streaming_uniqueness"],
-                    "error": [f"DuplicateKey:n={total}"],
+                    key_col: [key[0]] * n_dups,
+                    "n_seen": ns,
+                    "rule": ["streaming_uniqueness"] * n_dups,
+                    "error": [f"DuplicateKey:n={n}" for n in ns],
                 }
             )
 
