@@ -347,6 +347,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup demo: the corpus unioned with an id-shifted copy of
     itself, so every text forms a duplicate group (the raw corpus has no
     exact dups)."""
+    # no _docs_wide here: md5 hashing is cheap and the groupBy already
+    # redistributes — a pre-repartition shuffle of the raw text measured
+    # SLOWER (1.6 -> 2.2s) than the single-scan hash
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     d2 = d.withColumn("doc_id", F.col("doc_id") + 1000000)
     return DD.exact_duplicates(d.unionByName(d2))
