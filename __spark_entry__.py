@@ -212,6 +212,29 @@ def q_uniq_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_keys(_t(spark, sf_dir, "orders"), "o_custkey")
 
 
+def q_uniq_custkeys_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit two-phase SALTED uniqueness path in the graded gate —
+    the skew treatment for non-collapsing per-key aggregations (north_rule:
+    duplicate-heavy keys); must produce exactly the plain groupBy's answer."""
+    from valor_spark.operators.constraints import duplicate_keys
+
+    return duplicate_keys(_t(spark, sf_dir, "orders"), "o_custkey", salted=True)
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — distribution stats beyond
+    mean/stddev for the column-stats engine.  Spark's percentile() and
+    DuckDB's quantile_cont share the linear-interpolation definition
+    ((1-g)*lower + g*upper over the sorted values), so the values
+    hash-match."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", 0.99), 4).alias("p99"),
+    )
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -779,6 +802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_lineitem_acc": q_val_lineitem_acc,
         "val_clips": q_val_clips,
         "uniq_custkeys": q_uniq_custkeys,
+        "uniq_custkeys_salted": q_uniq_custkeys_salted,
+        "percentiles": q_percentiles,
         "customers_without_orders": q_customers_without_orders,
         "col_stats": q_col_stats,
         "events_first_per_user_type": q_events_first_per_user_type,
@@ -1041,6 +1066,18 @@ def oracle_sql() -> dict[str, str]:
         "uniq_custkeys": """
             SELECT o_custkey, COUNT(*) AS n FROM orders
             GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        # the salted two-phase plan must give EXACTLY the plain answer
+        "uniq_custkeys_salted": """
+            SELECT o_custkey, COUNT(*) AS n FROM orders
+            GROUP BY o_custkey HAVING COUNT(*) > 1
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c
