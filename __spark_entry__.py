@@ -311,6 +311,37 @@ def q_events_first_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — the lag + cumulative-sum window idiom: a new session
+    starts when the gap to the user's previous event exceeds 30 minutes;
+    output is per-user session stats.  Both windows are partitioned by
+    user_id (no global sort)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic: ts is TIMESTAMP_NTZ (no epoch cast; tz-free on
+    # both engines)
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count_distinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn(
+            "events_per_session",
+            F.round(F.col("n_events").cast("double") / F.col("n_sessions"), 4),
+        )
+    )
+
+
 def q_top2_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(
@@ -807,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "col_stats": q_col_stats,
         "events_first_per_user_type": q_events_first_per_user_type,
+        "event_sessions": q_event_sessions,
         "top2_orders_per_cust": q_top2_orders_per_cust,
         "pricing_summary": q_pricing_summary,
         "region_acctbal": q_region_acctbal,
@@ -1116,6 +1148,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type FROM events
             QUALIFY ROW_NUMBER() OVER (
               PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+        """,
+        "event_sessions": """
+            WITH gaps AS (
+              SELECT user_id, ts, event_id,
+                     LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            sess AS (
+              SELECT user_id,
+                     SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gaps
+            )
+            SELECT user_id,
+                   COUNT(DISTINCT session_id) AS n_sessions,
+                   COUNT(*) AS n_events,
+                   ROUND(COUNT(*)::DOUBLE / COUNT(DISTINCT session_id), 4)
+                     AS events_per_session
+            FROM sess GROUP BY user_id
         """,
         "top2_orders_per_cust": """
             SELECT o_custkey, o_orderkey, o_totalprice,
