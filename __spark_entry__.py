@@ -390,6 +390,22 @@ def q_psi_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.psi_df(obs, base, "event_type")
 
 
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned KS drift entirely as DataFrame ops (the PSI counterpart of
+    psi_event_types): sup |ECDF delta| between the even/odd user halves of
+    events.value over the 0..500/20 grid.  The only unpartitioned window
+    runs over <= nbins(=20) histogram rows by construction."""
+    ev = _t(spark, sf_dir, "events")
+    return DR.ks_df(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        0.0,
+        500.0,
+        20,
+    )
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return DR.numeric_histogram(ev, "value", 0.0, 500.0, 20).withColumnRenamed(
@@ -843,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "region_acctbal": q_region_acctbal,
         "psi_event_types": q_psi_event_types,
+        "ks_value_drift": q_ks_value_drift,
         "value_histogram": q_value_histogram,
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
@@ -1212,6 +1229,30 @@ def oracle_sql() -> dict[str, str]:
                  FROM op FULL OUTER JOIN bq USING (k)
                )
             SELECT ROUND(SUM((p - q) * LN(p / q)), 6) AS psi FROM j
+        """,
+        "ks_value_drift": """
+            WITH o AS (
+              SELECT GREATEST(0, LEAST(19, FLOOR(value / 25.0)))::INT AS bin,
+                     COUNT(*) AS n
+              FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+            ), b AS (
+              SELECT GREATEST(0, LEAST(19, FLOOR(value / 25.0)))::INT AS bin,
+                     COUNT(*) AS n
+              FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+            ),
+            op AS (SELECT bin, n::DOUBLE / (SELECT SUM(n) FROM o) AS p FROM o),
+            bq AS (SELECT bin, n::DOUBLE / (SELECT SUM(n) FROM b) AS q FROM b),
+            j AS (
+              SELECT COALESCE(op.bin, bq.bin) AS bin,
+                     COALESCE(p, 0) AS p, COALESCE(q, 0) AS q
+              FROM op FULL OUTER JOIN bq ON op.bin = bq.bin
+            ),
+            c AS (
+              SELECT SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   - SUM(q) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS d
+              FROM j
+            )
+            SELECT ROUND(MAX(ABS(d)), 6) AS ks FROM c
         """,
         "value_histogram": """
             SELECT GREATEST(0, LEAST(19, FLOOR(value / 25.0)))::INT AS bin,

@@ -211,6 +211,45 @@ def drift_report(
     return results
 
 
+def ks_df(
+    obs: DataFrame,
+    base: DataFrame,
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binned KS statistic between two DataFrames' distributions of ``col``,
+    entirely as DataFrame ops — one row ``(ks)``.
+
+    sup |cumsum(p) - cumsum(q)| over the shared uniform bins; the cumulative
+    window runs over at most ``nbins`` rows (the heavy part is the two
+    histogram aggregations, each one scan with map-side combine)."""
+    o = (
+        obs.filter(F.col(col).isNotNull())
+        .groupBy(_bin_expr(col, lo, hi, nbins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p"))
+    )
+    b = (
+        base.filter(F.col(col).isNotNull())
+        .groupBy(_bin_expr(col, lo, hi, nbins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("bin", (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("q"))
+    )
+    j = o.join(b, on="bin", how="full_outer").select(
+        "bin",
+        F.coalesce("p", F.lit(0.0)).alias("p"),
+        F.coalesce("q", F.lit(0.0)).alias("q"),
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = j.select(
+        (F.sum("p").over(w) - F.sum("q").over(w)).alias("d")
+    )
+    return cum.agg(F.round(F.max(F.abs(F.col("d"))), round_to).alias("ks"))
+
+
 def psi_df(obs: DataFrame, base: DataFrame, col: str, round_to: int = 6) -> DataFrame:
     """PSI between two DataFrames' distributions of ``col``, entirely as
     DataFrame ops (no driver-side collect) — one row ``(psi)``.
