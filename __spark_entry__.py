@@ -662,12 +662,15 @@ def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    import shutil
+
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_ckpt_")
     q = validate_stream(
         stream,
         rules,
         key_cols=["id"],
         on_batch=on_batch,
-        checkpoint_dir=tempfile.mkdtemp(prefix="gate_stream_ckpt_"),
+        checkpoint_dir=ckpt,
         trigger_once=True,
     )
     if not q.awaitTermination(300):
@@ -676,6 +679,7 @@ def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the remaining gate queries — fail loudly instead
         q.stop()
         raise RuntimeError("stream_validate: StreamingQuery did not finish in 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)  # per-call scratch, never resumed
     return spark.createDataFrame(
         [(r["id"], r["rule"], r["error"]) for r in collected],
         "id int, rule string, error string",
