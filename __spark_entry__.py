@@ -776,6 +776,20 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths = build_image_fixture(FIXTURE_DIR)
     imgs = spark.read.parquet(paths["data"])
     feats = MM.image_features(imgs, dim=FEATURE_DIM)
+    # features is array<double>; the driver's canonicalizer sort_values /
+    # hashes over raw pandas cells and Python lists are unhashable — emit ONE
+    # fixed-format string instead ("%.4f" after a half-up round on both
+    # engines; the post-round doubles sit ~1e-13 off the 4-decimal grid, so
+    # Java HALF_UP and C round-half-even formatting can never disagree).
+    feat_str = F.when(F.col("features").isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat_ws(
+            ",",
+            F.transform(
+                "features",
+                lambda x: F.format_string("%.4f", F.round(x.cast("double"), 4)),
+            ),
+        )
+    )
     return feats.select(
         "id",
         "format",
@@ -785,9 +799,7 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("error").isNotNull(), F.lit(None))
         .otherwise(F.round("mean_intensity", 6))
         .alias("mean_intensity"),
-        F.transform("features", lambda x: F.round(x.cast("double"), 4)).alias(
-            "features"
-        ),
+        feat_str.alias("features"),
         "error",
     )
 
@@ -1138,11 +1150,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # mean/std derive from exact DECIMAL sums (order-independent) in ONE
         # double expression, mirroring q_col_stats — float aggregation-order
-        # jitter cannot flip the 4th decimal on either engine.
+        # jitter cannot flip the 4th decimal on either engine.  The null
+        # counters are CAST(... AS BIGINT): DuckDB's SUM(int) yields HUGEINT
+        # (int128), which pandas materializes as float64 and the driver's
+        # dtype-sensitive hash then rejects against Spark's bigint.
         "col_stats": """
             WITH s AS (
               SELECT 'l_quantity' AS "column", COUNT(*) AS cnt,
-                     SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls,
+                     CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
                      COUNT(DISTINCT l_quantity) AS n_distinct,
                      ROUND(MIN(l_quantity), 4) AS min_v, ROUND(MAX(l_quantity), 4) AS max_v,
                      SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
@@ -1151,7 +1166,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem
               UNION ALL
               SELECT 'l_extendedprice', COUNT(*),
-                     SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                     CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                      COUNT(DISTINCT l_extendedprice),
                      ROUND(MIN(l_extendedprice), 4), ROUND(MAX(l_extendedprice), 4),
                      SUM(CAST(l_extendedprice AS DECIMAL(18,6))),
@@ -1179,10 +1194,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sess AS (
               SELECT user_id,
-                     SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
+                     CAST(SUM(CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
                           THEN 1 ELSE 0 END)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM gaps
             )
             SELECT user_id,
@@ -1325,10 +1340,14 @@ def oracle_sql() -> dict[str, str]:
         # q_val_audio / sources/audio_fixture.py)
         "val_audio": f"SELECT clip_id, rule, error FROM read_parquet('{audio_expected}')",
         # expected stats derived from the SOURCE pixel arrays (see
-        # q_image_stats / sources/image_fixture.py)
+        # q_image_stats / sources/image_fixture.py); features serialized to
+        # one %.4f-formatted string — lists are unhashable in the driver's
+        # pandas canonicalizer
         "image_stats": (
             "SELECT id, format, width, height, channels, mean_intensity, "
-            f"features, error FROM read_parquet('{image_expected}')"
+            "CASE WHEN features IS NULL THEN NULL "
+            "ELSE array_to_string(list_transform(features, x -> printf('%.4f', x)), ',') "
+            f"END AS features, error FROM read_parquet('{image_expected}')"
         ),
         "top_bigrams": f"""
             WITH toks AS (

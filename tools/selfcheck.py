@@ -9,6 +9,19 @@ Usage: PYTHONPATH=/root/repo python tools/selfcheck.py [sf_dir] [--partitions N]
 order depends on partitioning, so a query that hash-matches at one setting
 but not another has a representation-stability bug (the col_stats class of
 failure); sweep 3/8/32 before trusting a float-producing query.
+
+STRICTNESS CONTRACT (round 3 — the local gate must be at least as strict as
+the graded one; two round-2 "41/41" claims shipped while the driver scored
+39/41 because the old norm_cell was weaker in exactly two ways):
+
+1. dtype-faithful cells: results go through pandas (``toPandas()`` /
+   ``cur.df()``) like the driver's canonicalizer; an int64 0 and a float64
+   0.0 hash DIFFERENTLY (DuckDB SUM(int) -> HUGEINT -> pandas float64 is the
+   col_stats failure class).  Floats use full shortest-roundtrip repr, never
+   a fixed-decimal format.
+2. pandas ``sort_values`` over every output column, exactly like the driver —
+   a list/array/dict-valued column raises TypeError here and is reported as
+   a FAIL (the image_stats failure class), instead of being handled natively.
 """
 
 from __future__ import annotations
@@ -16,8 +29,11 @@ from __future__ import annotations
 import hashlib
 import sys
 import time
+from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, "/root/repo")
@@ -29,27 +45,49 @@ TABLES = [
 ]
 
 
-def norm_cell(v):
+def cell_repr(v) -> str:
+    """Dtype-faithful cell token: int and float representations never
+    collide; floats keep full precision (engines must agree bit-for-bit,
+    which ROUND(x, n) on identical input doubles guarantees)."""
     if v is None:
         return "\\N"
-    if isinstance(v, float):
-        if v != v:
-            return "nan"
-        if v == 0.0:
-            v = 0.0  # fold -0.0 (engines disagree on round()'s signed zero)
-        return f"{v:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, bool):
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:
+            return "\\N"  # pandas surfaces SQL NULL as NaN in float columns
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
         return str(int(v))
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+    if isinstance(v, Decimal):
+        return f"dec:{v}"
+    if isinstance(v, bytes):
+        return f"bytes:{v.hex()}"
+    if isinstance(v, pd.Timestamp):
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        # the driver canonicalizer cannot sort/hash these — sort_values
+        # should already have raised; belt-and-braces reject here too
+        raise TypeError(f"unhashable gate cell type {type(v).__name__}")
+    return f"{type(v).__name__}:{v}"
 
 
-def value_hash(rows, colnames) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "|".join(norm_cell(r[i]) for i in order) for r in rows
+def canon_lines(df: pd.DataFrame) -> list[str]:
+    """Sorted canonical row tokens — mirrors the driver: columns sorted by
+    name, then sort_values over ALL columns (raises on unsortable cells)."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return sorted(
+        "|".join(cell_repr(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
     )
+
+
+def value_hash(lines: list[str]) -> str:
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -57,7 +95,7 @@ def value_hash(rows, colnames) -> str:
     return h.hexdigest()[:16]
 
 
-def main(sf_dir: str, partitions: int = 8) -> int:
+def main(sf_dir: str, partitions: int = 8, only: set[str] | None = None) -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("valor-selfcheck")
@@ -77,49 +115,56 @@ def main(sf_dir: str, partitions: int = 8) -> int:
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
             failures += 1
             continue
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ROWS-ONLY {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {str(exc).splitlines()[0][:160]}")
             failures += 1
             continue
         problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rows {len(srows)} != {len(orows)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols {sorted(spdf.columns)} != {sorted(opdf.columns)}"
+            )
+        if len(spdf) != len(opdf):
+            problems.append(f"rows {len(spdf)} != {len(opdf)}")
+        ss = oo = None
         if not problems:
-            hs, ho = value_hash(srows, scols), value_hash(orows, ocols)
+            try:
+                ss = canon_lines(spdf)
+            except TypeError as exc:
+                problems.append(f"spark output not canonicalizer-safe: {exc}")
+            try:
+                oo = canon_lines(opdf)
+            except TypeError as exc:
+                problems.append(f"oracle output not canonicalizer-safe: {exc}")
+        if not problems and ss is not None and oo is not None:
+            hs, ho = value_hash(ss), value_hash(oo)
             if hs != ho:
                 problems.append(f"hash {hs} != {ho}")
         if problems:
             failures += 1
             print(f"FAIL  {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
-            if len(srows) and len(orows):
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                ss = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
-                oo = sorted("|".join(norm_cell(r[i]) for i in order_o) for r in orows)
+            if ss and oo:
                 only_s = [x for x in ss if x not in set(oo)][:3]
                 only_o = [x for x in oo if x not in set(ss)][:3]
                 print(f"      spark-only: {only_s}")
                 print(f"      duck-only : {only_o}")
         else:
-            print(f"OK    {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"OK    {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
     spark.stop()
     return failures
 
@@ -127,9 +172,14 @@ def main(sf_dir: str, partitions: int = 8) -> int:
 if __name__ == "__main__":
     args = sys.argv[1:]
     parts = 8
+    only = None
     if "--partitions" in args:
         i = args.index("--partitions")
         parts = int(args[i + 1])
         del args[i : i + 2]
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf = args[0] if args else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf, partitions=parts))
+    raise SystemExit(main(sf, partitions=parts, only=only))
