@@ -804,6 +804,66 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_val_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """checkN over a Traversable MAP (reference: checkN is ``Traversable t``,
+    Valor.hs:390-395; Haskell ``Map k`` traverses its values) in the graded
+    gate: a map<string,string> column assembled from event fields, every
+    entry validated, failing entries exploded to (event_id, mkey, error)."""
+    ev = _t(spark, sf_dir, "events")
+    pm = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    rule = V.checkN_map(
+        V.field("pm"),
+        V.fail_if(["TooLong"], lambda v: F.length(v) > 5, EA),
+    )
+    res = validate(ev.withColumn("pm", pm), {"map_vals": rule}, key_cols=["event_id"])
+    v = F.col("__valor_map_vals")
+    return (
+        res.annotated.filter(v.getField("wrong"))
+        .select("event_id", F.explode(v.getField("err")).alias("mkey", "errs"))
+        .filter(F.col("errs").isNotNull())
+        .select("event_id", "mkey", F.concat_ws(";", "errs").alias("error"))
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pigeonhole banding) on corpus + planted
+    near-copies (first 20 docs with the leading token dropped)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return DD.simhash_pairs(
+        d.unionByName(near), bits=32, max_hamming=3, bands=4
+    )
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH-bucketed approximate top-k — the bucketed ANN scale
+    path (only bucket-sharing candidates are scored)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.cosine_topk_lsh(emb, queries, k=3, n_planes=6, n_tables=2)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (sequence + explode): one row per sampled
+    frame index; zero-frame videos yield no rows.  Frame counts derived
+    deterministically from doc_id so the oracle sees identical input."""
+    from valor_spark.operators.multimodal import frame_sample_plan
+
+    vids = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", ((F.col("doc_id") * 7) % 50).alias("n_frames")
+    )
+    return frame_sample_plan(vids, "n_frames", every_k=5)
+
+
 def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.top_bigrams(_docs_wide(spark, sf_dir), k=20)
 
@@ -902,6 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "image_stats": q_image_stats,
         "val_applications": q_val_applications,
+        "val_props_map": q_val_props_map,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
+        "frame_sample": q_frame_sample,
     }
 
 
@@ -917,7 +981,7 @@ _SQL_TOKHASH = (
 )
 
 
-def _sql_simhash(bits: int = 32) -> str:
+def _sql_simhash(bits: int = 32, corpus: str = "documents") -> str:
     toks = _SQL_TOKENS.format(col="text")
     hs = f"list_transform(list_distinct({toks}), t -> {_SQL_TOKHASH.format(tok='t')})"
     terms = []
@@ -927,7 +991,37 @@ def _sql_simhash(bits: int = 32) -> str:
             f"(CASE WHEN {ones} >= len(hs) - {ones} THEN {2**bit}::BIGINT ELSE 0::BIGINT END)"
         )
     total = " + ".join(terms)
-    return f"SELECT doc_id, ({total}) AS simhash FROM (SELECT doc_id, {hs} AS hs FROM documents)"
+    return f"SELECT doc_id, ({total}) AS simhash FROM (SELECT doc_id, {hs} AS hs FROM {corpus})"
+
+
+def _sql_simhash_pairs(bits: int = 32, max_hamming: int = 3, bands: int = 4) -> str:
+    """Pigeonhole-banded SimHash pairs, mirroring dedup.simhash_pairs: band
+    buckets are contiguous (bits/bands)-bit blocks; candidates share any
+    block; survivors have bit_count(xor) <= max_hamming."""
+    block = bits // bands
+    corpus = """(
+      SELECT doc_id, text FROM documents WHERE doc_id < 200
+      UNION ALL
+      SELECT doc_id + 1000000, substring(text, instr(text, ' ') + 1)
+      FROM documents WHERE doc_id < 20
+    )"""
+    sh = _sql_simhash(bits, corpus)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id AS doc, simhash AS sh, {b} AS band, "
+        f"(simhash >> {b * block}) & {(1 << block) - 1} AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+WITH sigs AS ({sh}),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2, a.sh AS h1, b.sh AS h2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+)
+SELECT doc1, doc2, bit_count(xor(h1, h2)) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= {max_hamming}
+"""
 
 
 def _sql_minhash_pairs(k: int = 8, bands: int = 4, threshold: float = 0.5) -> str:
@@ -1564,6 +1658,80 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (
                      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
             FROM scored QUALIFY rank <= 3
+        """,
+        # checkN over a MAP: every entry validated, failing entries exploded
+        "val_props_map": """
+            WITH m AS (
+              SELECT event_id, event_type AS etype, props->>'$.k' AS k,
+                     user_id::VARCHAR AS uid
+              FROM events
+            ),
+            u AS (
+              SELECT event_id, 'etype' AS mkey, etype AS val FROM m
+              UNION ALL SELECT event_id, 'k', k FROM m
+              UNION ALL SELECT event_id, 'uid', uid FROM m
+            )
+            SELECT event_id, mkey, 'TooLong' AS error FROM u WHERE length(val) > 5
+        """,
+        "simhash_pairs": _sql_simhash_pairs(32, 3, 4),
+        # multi-table hyperplane LSH candidates, exact cosine on survivors —
+        # same plane family as embedding_near_dup (salt = table*1000 + p)
+        "cosine_topk_lsh": f"""
+            WITH c AS (
+              SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id AS qid, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE vec_id < 5
+            ),
+            cb AS (
+              {" UNION ALL ".join(
+                  "SELECT nid, v, " + str(t) + " AS tbl, "
+                  + " + ".join(
+                      f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
+                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"THEN {1 << p} ELSE 0 END)"
+                      for p in range(6)
+                  )
+                  + " AS bucket FROM c"
+                  for t in range(2)
+              )}
+            ),
+            qb AS (
+              {" UNION ALL ".join(
+                  "SELECT qid, v, " + str(t) + " AS tbl, "
+                  + " + ".join(
+                      f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
+                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"THEN {1 << p} ELSE 0 END)"
+                      for p in range(6)
+                  )
+                  + " AS bucket FROM q"
+                  for t in range(2)
+              )}
+            ),
+            cand AS (
+              SELECT DISTINCT qb.qid, cb.nid
+              FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+              WHERE qb.qid != cb.nid
+            ),
+            scored AS (
+              SELECT cand.qid AS query_id, cand.nid AS neighbor_id,
+                     ROUND(list_cosine_similarity(q.v, c.v), 6) AS score
+              FROM cand JOIN q ON q.qid = cand.qid JOIN c ON c.nid = cand.nid
+            )
+            SELECT query_id, neighbor_id, score,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+            FROM scored QUALIFY rank <= 3
+        """,
+        # sequence+explode frame sampling; zero-frame videos emit no rows
+        "frame_sample": """
+            SELECT doc_id, n_frames, unnest(range(0, n_frames, 5)) AS frame_idx
+            FROM (
+              SELECT doc_id, (doc_id * 7) % 50 AS n_frames
+              FROM documents WHERE doc_id < 50
+            ) WHERE n_frames >= 1
         """,
         "cosine_topk": """
             WITH q AS (
