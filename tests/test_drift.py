@@ -96,3 +96,20 @@ def test_drift_report_single_scan_matches_per_metric(spark):
     assert abs(got[("dur_ms", "ks")].value - want_ks.value) < 1e-12
     assert abs(got[("sr_hz", "psi")].value - want_psi.value) < 1e-12
     assert got[("dur_ms", "ks")].passed and got[("sr_hz", "psi")].passed
+
+
+def test_psi_drift_string_categorical_baseline(spark):
+    """A genuinely string-typed category (e.g. codec) in the baseline: the
+    baseline carries it in the `category` column (the legacy numeric bin_lo
+    encoding remains a fallback) — previously str(int(bin_lo)) raised."""
+    rows = [(i, ["wav", "pcm_s16le", "flac"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "id int, codec string")
+    baseline = D.baseline_from(df, numeric_cols={}, categorical_cols=["codec"])
+    same = D.psi_drift(df, "codec", baseline)
+    assert same.value < 1e-9 and same.passed
+    skewed = df.filter(F.col("codec") != "flac")
+    drifted = D.psi_drift(skewed, "codec", baseline)
+    assert drifted.value > 0.1
+    # drift_report path decodes the same way
+    rep = D.drift_report(skewed, baseline, categorical={"codec": dict(threshold=0.01)})
+    assert rep[0].metric == "psi" and abs(rep[0].value - drifted.value) < 1e-12

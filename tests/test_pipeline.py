@@ -98,7 +98,8 @@ def test_checkpoint_resume_skips_completed(spark, tables, tmp_path_factory):
     rep2 = run_pipeline(spark, clips, ref, checkpoint_dir=ckpt)
     assert rep2.skipped.get("row_rules") == list(range(8))
     assert rep2.skipped.get("constraints") == [-1]
-    assert rep2.skipped.get("audio") == [-1]
+    # audio resumes at SHARD granularity (round 3): all 8 skipped
+    assert rep2.skipped.get("audio") == list(range(8))
     v2 = {
         (r["clip_id"], r["rule"], r["error"])
         for r in rep2.violations.collect()
@@ -340,3 +341,127 @@ def test_checkpoint_manifest_has_lineage(spark, tables, tmp_path_factory):
     assert total_by_rule.get("transcript_nonempty", 0) > 0
     assert total_by_rule.get("sr_valid", 0) > 0
     assert all(sum(r.by_rule.values()) == r.violations for r in row_recs)
+
+
+def _audio_clips_ref(spark, n=8, n_shards=4):
+    """Matching pcm clips + reference (zero audio violations)."""
+    import numpy as np
+
+    pcm = np.arange(0, 256, dtype="<i2")
+    clips = spark.createDataFrame(
+        [
+            (f"c{i}", pcm.tobytes(), 16000, 16, "pcm_s16le", "t", i % n_shards)
+            for i in range(n)
+        ],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string, shard int",
+    )
+    ref = spark.createDataFrame(
+        [(f"c{i}", pcm.tobytes(), "t") for i in range(n)],
+        "clip_id string, pcm_ref binary, transcript_ref string",
+    )
+    return clips, ref
+
+
+def test_audio_resume_is_shard_granular(spark, tmp_path_factory):
+    """The audio stage (the dominant cost at scale) must resume per shard:
+    a killed-then-resumed run re-decodes ONLY shards without a matching
+    checkpoint record, and a clips-side change re-decodes only its shard."""
+    clips, ref = _audio_clips_ref(spark)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_audio_shard"))
+
+    # "killed" run: only shards 0/1 completed before the crash
+    partial = clips.filter(F.col("shard") < 2)
+    r0 = run_pipeline(spark, partial, ref, checkpoint_dir=ckpt)
+    assert r0.violations.filter(F.col("rule").startswith("audio")).count() == 0
+
+    # resumed full run: shards 0/1 skip, 2/3 decode
+    r1 = run_pipeline(spark, clips, ref, checkpoint_dir=ckpt)
+    assert sorted(r1.skipped["audio"]) == [0, 1]
+    # identical rerun now skips every audio shard
+    r2 = run_pipeline(spark, clips, ref, checkpoint_dir=ckpt)
+    assert sorted(r2.skipped["audio"]) == [0, 1, 2, 3]
+
+    # clips-side change on shard 2 re-decodes only shard 2; its fresh
+    # transcript-mismatch violations land, other shards stay clean/skipped
+    mutated = clips.withColumn(
+        "transcript",
+        F.when(F.col("shard") == 2, F.lit("other")).otherwise(F.col("transcript")),
+    )
+    r3 = run_pipeline(spark, mutated, ref, checkpoint_dir=ckpt)
+    assert sorted(r3.skipped["audio"]) == [0, 1, 3]
+    tmm = r3.violations.filter(F.col("rule") == "transcript_equal")
+    assert {r["shard"] for r in tmm.collect()} == {2}
+    assert tmm.count() == mutated.filter(F.col("shard") == 2).count()
+
+
+def test_audio_resume_invalidated_by_ref_change(spark, tmp_path_factory):
+    """A changed reference table conservatively invalidates EVERY audio
+    shard (the ref has no shard alignment of its own)."""
+    clips, ref = _audio_clips_ref(spark)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_audio_ref"))
+    run_pipeline(spark, clips, ref, checkpoint_dir=ckpt)
+    ref2 = ref.withColumn(
+        "transcript_ref",
+        F.when(F.col("clip_id") == "c0", F.lit("CHANGED")).otherwise(
+            F.col("transcript_ref")
+        ),
+    )
+    r2 = run_pipeline(spark, clips, ref2, checkpoint_dir=ckpt)
+    assert r2.skipped.get("audio") == []  # all shards recomputed
+    assert r2.violations.filter(F.col("rule") == "transcript_equal").count() == 1
+
+
+def test_ref_payload_fingerprint_coverage(spark, tmp_path_factory):
+    """fingerprint_payload="content" extends resume validity to the REF
+    payload: an in-place pcm_ref swap (same row count, same metadata, same
+    length) must re-decode instead of serving stale audio verdicts."""
+    import numpy as np
+
+    clips, ref = _audio_clips_ref(spark, n=4, n_shards=2)
+    ckpt = str(tmp_path_factory.mktemp("ckpt_refpayload"))
+    r1 = run_pipeline(
+        spark, clips, ref, checkpoint_dir=ckpt, fingerprint_payload="content"
+    )
+    assert r1.violations.filter(F.col("rule") == "audio_snr").count() == 0
+    # same-length, different-content reference pcm for c0
+    alt = np.arange(255, -1, -1, dtype="<i2")
+    ref2 = spark.createDataFrame(
+        [
+            ("c0", alt.tobytes(), "t"),
+            *[(f"c{i}", np.arange(0, 256, dtype="<i2").tobytes(), "t") for i in (1, 2, 3)],
+        ],
+        "clip_id string, pcm_ref binary, transcript_ref string",
+    )
+    r2 = run_pipeline(
+        spark, clips, ref2, checkpoint_dir=ckpt, fingerprint_payload="content"
+    )
+    assert r2.skipped.get("audio") == []  # recomputed, not served stale
+    assert r2.violations.filter(F.col("rule") == "audio_snr").count() == 1
+
+
+def test_negative_shard_rejected(spark):
+    """Negative shard values collide with the GLOBAL (-1) / UNSHARDED (-2)
+    sentinels — intake fails fast instead of corrupting verdicts."""
+    import pytest as _pytest
+
+    clips = _clean_clips(spark).withColumn(
+        "shard",
+        F.when(F.col("clip_id") == "clean_0001", F.lit(-1)).otherwise(
+            F.col("shard")
+        ),
+    )
+    with _pytest.raises(ValueError, match="non-negative"):
+        run_pipeline(spark, clips, None)
+
+
+def test_uri_run_dir_rejected():
+    """manifest.jsonl append and shard-partition clearing are local-FS
+    operations — a URI-schemed run_dir would silently no-op rmtree on
+    object stores and serve stale shard violations."""
+    import pytest as _pytest
+
+    from valor_spark.plans.checkpoint import RunManifest
+
+    with _pytest.raises(ValueError, match="local filesystem"):
+        RunManifest("s3a://bucket/run")

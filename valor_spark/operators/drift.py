@@ -35,6 +35,20 @@ def _bin_expr(col: str, lo: float, hi: float, nbins: int):
     return F.greatest(F.lit(0), F.least(F.lit(nbins - 1), b)).cast("int")
 
 
+def _cat_key(r) -> str:
+    """Categorical-baseline key for a row: a string ``category`` column when
+    the baseline carries one (genuinely string-typed categories like codec),
+    else the legacy numeric encoding where ``bin_lo`` holds the category
+    value (sr_hz-style integer categories)."""
+    try:
+        c = r["category"]
+    except (KeyError, ValueError):
+        c = None
+    if c is not None:
+        return str(c)
+    return str(int(r["bin_lo"]))
+
+
 def _baseline_bins(base_rows, col: str, lo: float, hi: float, nbins: int) -> dict:
     """Map a baseline table's (bin_lo, expected_share) rows for ``col`` to
     {bin_index: share}.  round, not floor: bin_lo = lo + k*width accumulates
@@ -135,7 +149,7 @@ def psi_drift(
     obs_rows = categorical_histogram(df, col).collect()
     obs = {r["value"]: r["cnt"] for r in obs_rows}
     base_rows = baseline.filter(F.col("column_name") == col).collect()
-    base = {str(int(r["bin_lo"])): r["expected_share"] for r in base_rows}
+    base = {_cat_key(r): r["expected_share"] for r in base_rows}
     return DriftResult(col, "psi", psi_statistic(obs, base), threshold)
 
 
@@ -196,7 +210,7 @@ def drift_report(
         )
     for col, spec in categorical.items():
         base = {
-            str(int(r["bin_lo"])): r["expected_share"]
+            _cat_key(r): r["expected_share"]
             for r in base_rows
             if r["column_name"] == col
         }
@@ -276,8 +290,12 @@ def baseline_from(
 ) -> DataFrame:
     """Build a baseline_dist table from a (clean/previous) DataFrame.
 
-    ``numeric_cols``: {col: (lo, hi, nbins)}.  Output schema matches
-    FIXTURES.md §3: (column_name, bin_lo, bin_hi, expected_share)."""
+    ``numeric_cols``: {col: (lo, hi, nbins)}.  Output schema extends
+    FIXTURES.md §3 with a ``category`` string column: (column_name, bin_lo,
+    bin_hi, expected_share, category) — categorical rows carry the category
+    VALUE as a string there (so string-typed categories like codec work;
+    the legacy numeric bin_lo encoding remains a read fallback), numeric
+    rows carry NULL."""
     parts = []
     for col, (lo, hi, nbins) in numeric_cols.items():
         width = (hi - lo) / nbins
@@ -289,6 +307,7 @@ def baseline_from(
                 (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
                 (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
                 (F.col("cnt") / total).alias("expected_share"),
+                F.lit(None).cast("string").alias("category"),
             )
         )
     for col in categorical_cols:
@@ -297,9 +316,13 @@ def baseline_from(
         parts.append(
             h.select(
                 F.lit(col).alias("column_name"),
-                F.col("value").cast("double").alias("bin_lo"),
-                F.col("value").cast("double").alias("bin_hi"),
+                # try_cast: ANSI mode throws on non-numeric categories; the
+                # legacy numeric bin_lo slot is NULL for those (readers use
+                # the `category` column first)
+                F.col("value").try_cast("double").alias("bin_lo"),
+                F.col("value").try_cast("double").alias("bin_hi"),
                 (F.col("cnt") / total).alias("expected_share"),
+                F.col("value").cast("string").alias("category"),
             )
         )
     out = parts[0]

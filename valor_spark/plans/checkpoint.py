@@ -53,6 +53,17 @@ class ShardRecord:
 
 class RunManifest:
     def __init__(self, run_dir: str):
+        if "://" in run_dir:
+            # manifest.jsonl uses plain open()/fsync and partition clearing
+            # uses shutil.rmtree — both silently no-op or fail on hdfs://,
+            # s3a://, etc., which would serve stale shard violations on
+            # resume.  Refuse loudly; mount the store (DBFS/fuse) or point
+            # run_dir at a driver-reachable local path instead.
+            raise ValueError(
+                f"RunManifest requires a local filesystem path, got URI "
+                f"{run_dir!r} (manifest append and shard-partition clearing "
+                f"use local file APIs)"
+            )
         self.run_dir = run_dir
         os.makedirs(run_dir, exist_ok=True)
         self.path = os.path.join(run_dir, "manifest.jsonl")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field as dc_field
+from typing import Literal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -101,7 +102,7 @@ def clips_row_rules() -> dict:
 
 
 def shard_fingerprint_frame(
-    clips: DataFrame, fingerprint_payload: bool = False
+    clips: DataFrame, fingerprint_payload: bool | Literal["content"] = False
 ) -> DataFrame:
     """Per-shard (rows, fingerprint) used for checkpoint-resume decisions.
 
@@ -219,7 +220,7 @@ def run_pipeline(
     snr_db_min: float = 30.0,
     audio_repartition: int | None = None,
     scan_bytes_in_row_rules: bool | None = None,
-    fingerprint_payload: bool = False,
+    fingerprint_payload: bool | Literal["content"] = False,
 ) -> PipelineReport:
     """``scan_bytes_in_row_rules``: the ``bytes_present`` row rule forces the
     row-rule stage to scan the (dominant) binary column.  When the audio
@@ -234,6 +235,19 @@ def run_pipeline(
     vio_frames: list[DataFrame] = []
 
     has_shard = "shard" in clips.columns
+    # Negative shard values would collide with the GLOBAL (-1) / UNSHARDED
+    # (-2) sentinels — a real shard=-1's violations would merge into the
+    # global verdict row and resume keys would alias.  Fail fast at intake:
+    # a single pruned scan of the shard column with a pushed `< 0` filter
+    # and limit(1) early-out (row-group min/max stats skip clean files).
+    if has_shard:
+        neg = clips.filter(F.col("shard") < 0).select("shard").limit(1).collect()
+        if neg:
+            raise ValueError(
+                f"run_pipeline: shard values must be non-negative (found "
+                f"{neg[0]['shard']}); negative values are reserved for the "
+                f"GLOBAL ({GLOBAL_SHARD}) and UNSHARDED ({UNSHARDED}) sentinels"
+            )
     # persist: this 1-row-per-shard aggregate is consumed up to three times
     # (resume decisions, verdict assembly, row totals) — without the cache
     # each use re-scans the input's metadata columns
@@ -244,11 +258,20 @@ def run_pipeline(
     # Reference-table fingerprint: the constraints (referential) and audio
     # stages consume clips_ref, so their resume validity must cover it —
     # otherwise a changed/shrunk ref serves stale verdicts on resume.
+    # ``fingerprint_payload`` extends coverage to the ref PAYLOAD too: an
+    # in-place pcm_ref swap under unchanged metadata is otherwise outside
+    # the resume contract (same trade as the clips-side fingerprint — the
+    # default keeps the resume decision a metadata-only read).
     ref_rows, ref_fp = 0, 0
     if manifest and clips_ref is not None:
         ref_cols = [
             F.col(c) for c in ("clip_id", "transcript_ref") if c in clips_ref.columns
         ] or [F.col(clips_ref.columns[0])]
+        if fingerprint_payload and "pcm_ref" in clips_ref.columns:
+            if fingerprint_payload == "content":
+                ref_cols.append(F.col("pcm_ref"))
+            else:
+                ref_cols.append(F.coalesce(F.length("pcm_ref"), F.lit(-1)))
         r = clips_ref.agg(
             F.count(F.lit(1)).alias("rows"),
             F.coalesce(F.bit_xor(F.xxhash64(*ref_cols)), F.lit(0)).alias("fp"),
@@ -353,7 +376,6 @@ def run_pipeline(
     cons_fp = global_fp ^ ref_fp ^ _cfg_fingerprint(
         "constraints", clips_ref is not None
     )
-    audio_fp = global_fp ^ ref_fp ^ _cfg_fingerprint("audio", snr_db_min)
 
     # ---- stage 2: whole-table constraints (global resume) ---------------
     t0 = time.time()
@@ -382,17 +404,47 @@ def run_pipeline(
     )
     report.stage_wall_s[stage] = time.time() - t0
 
-    # ---- stage 3: audio payload invariant --------------------------------
+    # ---- stage 3: audio payload invariant (SHARD-granular resume) --------
+    # At 100 TB the audio decode pass is the dominant cost: a 99%-complete
+    # run that dies must not re-decode everything.  Resume keys are
+    # per-shard: clips shard fingerprint XOR the GLOBAL ref fingerprint XOR
+    # the stage config (snr threshold + ref row count) — the ref table has
+    # no shard alignment of its own, so a ref change conservatively
+    # invalidates every shard, while the dominant case (appended / changed
+    # clips shards) recomputes only the affected shards.
     if clips_ref is not None and "pcm_ref" in clips_ref.columns:
         t0 = time.time()
         stage = "audio"
-        if manifest and manifest.stage_done_for(stage, key_rows, audio_fp):
+        audio_cfg = _cfg_fingerprint("audio", snr_db_min, ref_rows) ^ ref_fp
+        audio_stats = {
+            s: (rows, fp ^ audio_cfg) for s, (rows, fp) in raw_stats.items()
+        }
+        a_done: set[int] = set()
+        if manifest:
+            recorded = manifest.shard_rows_fingerprints(stage)
+            a_done = {
+                s for s, key in audio_stats.items() if recorded.get(s) == key
+            }
+
+        def _audio_current_shards(df: DataFrame) -> DataFrame:
+            return df.filter(F.col("shard").isin([int(s) for s in audio_stats]))
+
+        if manifest and a_done and len(a_done) == len(audio_stats):
             vio_frames.append(
-                manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+                _audio_current_shards(
+                    manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+                )
             )
-            report.skipped[stage] = [GLOBAL_SHARD]
+            report.skipped[stage] = sorted(a_done)
         else:
-            inv = with_audio_invariant(clips, clips_ref, repartition=audio_repartition)
+            todo_clips = (
+                clips.filter(~shard_col.isin([int(s) for s in a_done]))
+                if a_done
+                else clips
+            )
+            inv = with_audio_invariant(
+                todo_clips, clips_ref, repartition=audio_repartition
+            )
             res = validate(
                 inv,
                 rules=audio_rules(snr_db_min),
@@ -407,14 +459,24 @@ def run_pipeline(
                 "error",
             )
             if manifest:
-                manifest.write_violations(stage, vio)
-                vio = manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
-                n = vio.count()
-                manifest.mark_global(
-                    stage, rows=key_rows, violations=n,
-                    wall_s=time.time() - t0, fingerprint=audio_fp,
+                todo_stats = {
+                    s: v for s, v in audio_stats.items() if s not in a_done
+                }
+                # a_done empty also covers manifests written by the old
+                # stage-granular layout (unpartitioned files at the stage
+                # root): full overwrite replaces that layout wholesale
+                manifest.write_violations(
+                    stage,
+                    vio,
+                    partition_by="shard",
+                    replace_shards=sorted(todo_stats) if a_done else None,
                 )
+                vio = _audio_current_shards(
+                    manifest.read_violations(spark, stage, C.VIOLATION_SCHEMA)
+                )
+                manifest.append(_per_shard_metrics(vio, todo_stats, stage))
             vio_frames.append(vio)
+            report.skipped[stage] = sorted(a_done)
         report.stage_wall_s[stage] = time.time() - t0
 
     # ---- stage 4: distribution drift (ALL metrics from one scan) ---------
