@@ -58,20 +58,32 @@ def cosine_topk(
 
     ``queries`` is small -> broadcast; corpus streams through one stage;
     per-query top-k via window row_number (score desc, id asc tie-break).
-    Self-matches (same id) are excluded."""
+    Self-matches (same id) are excluded.
+
+    Norms are hoisted into per-ROW projections below the join: higher-order
+    array functions are interpreted (CodegenFallback), so computing them per
+    PAIR costs |Q| * N traversals where N + |Q| suffice.  The score keeps the
+    exact expression shape dot/(qn*cn) — bit-identical to the inline form
+    (and to the oracle's list_cosine_similarity)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
-    )
+    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
-    )
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
+    den = F.col("qn") * F.col("cn")
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(
+                F.when(den == 0, F.lit(0.0)).otherwise(
+                    dot(F.col("qv"), F.col("cv")) / den
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
