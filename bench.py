@@ -391,6 +391,7 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "| OMP/BLAS threads pinned to 1 per worker | removes 14x CPU inflation at 32 workers |",
         "| spark.task.cpus=2 for Arrow-heavy configs | audio 9.0 -> 3.5 s (local[8] vs local[32], 480k) |",
         "| minhash-LSH candidates shuffled as (doc1,doc2) only, token sets joined back for verification (round 2) | at 10x gate corpus (10k docs, 11.4M verified pairs): shuffle 5.91 GB -> 0.14 GB (42x), wall 235 -> 64 s, and the old toks-through-shuffle shape OOMs a default-heap driver where the new one completes |",
+        "| cosine_topk re-bench + norm hoist (round 3): norms computed per ROW below the broadcast join instead of per PAIR (HOFs are CodegenFallback — interpreted), score keeps the exact dot/(qn*cn) expression shape so results stay bit-identical to the oracle | back-to-back trials at sf0.1: 4.14 s cold / 1.10 / 0.91 warm — the round-2 \"regression\" (0.79 -> 1.00) is run-to-run variance around the scan+setup floor at \\|Q\\|=5, not a plan change; the hoist removes 4 of 5 array traversals per pair and its win grows with \\|Q\\| |",
         "",
         "Run-to-run variance on this shared sandbox is substantial (same",
         "config measured 0.57-0.95 across a session depending on page-cache",
