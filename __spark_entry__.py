@@ -573,12 +573,14 @@ def q_val_acc_poke(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_val_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One composite query exercising the six combinators that previously
-    had pytest-only evidence: alt, test, peek, nerf (payload retention
-    through con), peer (nullable layer), and the restricted Monad bind
-    (taint: wrong-of-first ORs into the result even when the continuation
-    passes).  Reference behavior specs: /root/reference/tst/Data/
-    ValorSpec.hs:39-95 and int/Data/Valor/Internal.hs:90-95, 165-178."""
+    """One composite query exercising the combinators that previously had
+    pytest-only evidence: alt, test, peek, nerf (payload retention through
+    con), peer (nullable layer), the branch-table Monad bind (taint:
+    wrong-of-first ORs into the result even when the continuation passes),
+    and — round 3 — the GENERAL bind_k whose continuation is an arbitrary
+    function of the error-payload Column.  Reference behavior specs:
+    /root/reference/tst/Data/ValorSpec.hs:39-95 and
+    int/Data/Valor/Internal.hs:90-95, 165-178."""
     li = _t(spark, sf_dir, "lineitem")
 
     def g(name):
@@ -620,6 +622,27 @@ def q_val_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ],
             default=V.pass_(EA),
+        ),
+        # bind_k: the GENERAL Monad >>= (Internal.hs:90-95) — the
+        # continuation is an arbitrary function of the error-payload Column
+        # (here: fail appending a size-derived marker when the accumulated
+        # payload is non-empty, pure otherwise), not a static branch table
+        "bindk_demo": V.bind_k(
+            V.con(
+                V.fail_if(["QtyHigh"], lambda r: qty(r) > 45, EA),
+                V.fail_if(["TaxHigh"], lambda r: tax(r) >= 0.07, EA),
+            ),
+            lambda e: V.test(
+                V.fail_col(
+                    lambda _r: F.concat(
+                        e,
+                        F.array(F.concat(F.lit("n="), F.size(e).cast("string"))),
+                    ),
+                    EA,
+                ),
+                V.inert_col(lambda _r: e, EA),
+                lambda _r: F.size(e) == 0,
+            ),
         ),
     }
     res = validate(li, rules, key_cols=["l_orderkey", "l_linenumber"])
@@ -1569,7 +1592,11 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN l_tax >= 0.07 THEN 'Note;TaxHigh' ELSE 'Note' END AS nerf_err,
                    CASE WHEN l_quantity < 2 THEN 'QtyLow' ELSE '' END AS peer_err,
                    CASE WHEN l_quantity > 45 AND l_discount >= 0.05
-                        THEN 'DiscAlso' ELSE '' END AS bind_err
+                        THEN 'DiscAlso' ELSE '' END AS bind_err,
+                   CASE WHEN l_quantity > 45 AND l_tax >= 0.07 THEN 'QtyHigh;TaxHigh;n=2'
+                        WHEN l_quantity > 45 THEN 'QtyHigh;n=1'
+                        WHEN l_tax >= 0.07 THEN 'TaxHigh;n=1'
+                        ELSE '' END AS bindk_err
             FROM lineitem
             WHERE l_quantity > 49
                OR (CASE WHEN l_returnflag = 'R' THEN l_tax >= 0.07

@@ -206,6 +206,78 @@ def test_monad_taint(spark):
     assert got == (True, ["after"])
 
 
+# --- General bind_k (arbitrary e -> Valor continuations, Internal.hs:90-95)
+
+def _k_grow(e_col):
+    # data-dependent continuation: fail when the accumulated payload is
+    # non-empty, appending a marker derived from its size; pure otherwise
+    from valor_spark import fail_col, inert_col
+    from valor_spark import test as select_rule
+
+    return select_rule(
+        fail_col(
+            lambda _c: F.concat(
+                e_col, F.array(F.concat(F.lit("n="), F.size(e_col).cast("string")))
+            ),
+            ET,
+        ),
+        inert_col(lambda _c: e_col, ET),
+        lambda _c: F.size(e_col) == 0,
+    )
+
+
+def _k_upper(e_col):
+    from valor_spark import inert_col
+
+    return inert_col(lambda _c: F.transform(e_col, lambda x: F.upper(x)), ET)
+
+
+@pytest.mark.parametrize("payload", [[], ["e1"], ["e1", "e2"]])
+def test_bind_k_left_identity(spark, payload):
+    from valor_spark import bind_k
+
+    lhs = bind_k(inert(payload, ET), _k_grow, ET)
+    rhs = _k_grow(F.lit(payload).cast("array<string>"))
+    assert run_one(spark, lhs) == run_one(spark, rhs)
+
+
+@pytest.mark.parametrize(
+    "mval", [inert(["e1"], ET), fail_(["e1", "e2"], ET), pass_(ET)]
+)
+def test_bind_k_right_identity(spark, mval):
+    from valor_spark import bind_k, inert_col
+
+    pure_cont = lambda e_col: inert_col(lambda _c: e_col, ET)
+    assert run_one(spark, bind_k(mval, pure_cont, ET)) == run_one(spark, mval)
+
+
+@pytest.mark.parametrize(
+    "mval", [inert([], ET), inert(["e1"], ET), fail_(["x"], ET)]
+)
+def test_bind_k_associativity(spark, mval):
+    # (m >>= f) >>= g  ==  m >>= (\e -> f e >>= g), with f data-dependent
+    from valor_spark import bind_k
+
+    lhs = bind_k(bind_k(mval, _k_grow, ET), _k_upper, ET)
+    rhs = bind_k(mval, lambda e: bind_k(_k_grow(e), _k_upper, ET), ET)
+    assert run_one(spark, lhs) == run_one(spark, rhs)
+
+
+def test_bind_k_taint_and_data_dependence(spark):
+    from valor_spark import bind_k
+
+    # Wrong ["a"] >>= _k_grow: continuation sees the payload (size 1 -> fail
+    # branch appends "n=1"), and the Wrong input keeps the result Wrong.
+    got = run_one(spark, bind_k(fail_(["a"], ET), _k_grow, ET))
+    assert got == (True, ["a", "n=1"])
+    # Inert non-empty payload: continuation's own verdict (Wrong) decides.
+    got = run_one(spark, bind_k(inert(["a", "b"], ET), _k_grow, ET))
+    assert got == (True, ["a", "b", "n=2"])
+    # Inert empty payload: pure branch, stays Inert.
+    got = run_one(spark, bind_k(inert([], ET), _k_grow, ET))
+    assert got == (False, [])
+
+
 # --- Wrong-value helpers (InternalSpec.hs:113-142 parity) ------------------
 
 def test_wrong_helpers(spark):

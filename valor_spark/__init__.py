@@ -24,6 +24,7 @@ from valor_spark.functions.rules import (
     adapt,
     alt,
     bind,
+    bind_k,
     check1,
     checkN,
     checkN_map,
@@ -35,6 +36,7 @@ from valor_spark.functions.rules import (
     field,
     fmap_err,
     inert,
+    inert_col,
     is_inert,
     is_wrong,
     make,
@@ -54,9 +56,10 @@ from valor_spark.functions.rules import (
 __all__ = [
     "EArray", "EArrayOf", "EMapOf", "ENullable", "ERecord", "EString", "ErrType",
     "strings",
-    "Rule", "acc", "adapt", "alt", "bind", "check1", "checkN", "checkN_map",
-    "con", "conN",
-    "fail_", "fail_col", "fail_if", "field", "fmap_err", "inert", "is_inert",
+    "Rule", "acc", "adapt", "alt", "bind", "bind_k", "check1", "checkN",
+    "checkN_map", "con", "conN",
+    "fail_", "fail_col", "fail_if", "field", "fmap_err", "inert", "inert_col",
+    "is_inert",
     "is_wrong", "make", "mk", "nerf", "pass_", "pass_if", "peek", "peer",
     "poke", "record", "test", "val_w", "wrong_case",
 ]

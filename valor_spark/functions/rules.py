@@ -413,6 +413,51 @@ def bind(
     return Rule(fn, et)
 
 
+def bind_k(
+    rule: Rule,
+    k: Callable[[Column], Rule],
+    etype: ErrType | None = None,
+) -> Rule:
+    """Monad ``>>=`` (Internal.hs:90-95) in its general form: ``k`` receives
+    the error payload of ``rule`` as a *Column* and returns the follow-up
+    Rule — the direct analogue of Haskell's ``e -> Valor i m e``.  Because a
+    Column is a symbolic per-row expression, ``k`` may branch on the payload
+    (``F.when``), transform it, or feed it into any rule constructor, and the
+    staged plan evaluates the continuation per row exactly as the reference
+    does per value.  The reference semantics are preserved verbatim: the
+    continuation runs on the payload whether ``rule`` was Inert or Wrong, and
+    a Wrong input taints the continuation's result Wrong while keeping the
+    continuation's payload (Internal.hs:95 ``pure . Wrong . valW``).
+
+    The only residual restriction vs. Haskell is that ``k`` must build its
+    Rule from Column expressions (no unbounded per-value recursion, no
+    per-row effects) — the same staging constraint every rule in this engine
+    lives under, not a bind-specific loss.  :func:`bind` remains as the
+    branch-table convenience form; ``bind(rule, branches, default)`` is
+    expressible as ``bind_k`` with a ``F.when`` chain in ``k``.
+    """
+    et = etype or rule.etype
+
+    def fn(col: Column) -> Column:
+        r1 = rule(col)
+        nxt = k(r1.getField(ERR))(col)
+        return mk(
+            r1.getField(WRONG) | nxt.getField(WRONG), nxt.getField(ERR), et
+        )
+
+    return Rule(fn, et)
+
+
+def inert_col(err_col_fn: Callable[[Column], Column], etype: ErrType | None = None) -> Rule:
+    """``pure`` with a computed payload: always Inert, carrying an error value
+    built from the input column (Internal.hs:137 ``pure = Inert``; the
+    payload-column counterpart of :func:`inert`, as :func:`fail_col` is of
+    :func:`fail_`).  Useful as a ``bind_k`` continuation for the Monad
+    right-identity ``m >>= pure``."""
+    et = etype or strings()
+    return Rule(lambda col: mk(F.lit(False), err_col_fn(col), et), et)
+
+
 # ---------------------------------------------------------------------------
 # Wrong-value helpers (int/Data/Valor/Internal.hs:128-208 parity)
 # ---------------------------------------------------------------------------
