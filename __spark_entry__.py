@@ -867,6 +867,33 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster RESOLUTION in the graded gate — the last mile of a
+    dedup pipeline: simhash_pairs' candidate pairs -> hash-min connected
+    components (iterative label propagation, lineage truncated per round;
+    dedup.py::connected_components) -> one row per cluster with its
+    canonical min-id, size, and sorted member list (serialized to one
+    string for the driver's canonicalizer)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    pairs = DD.simhash_pairs(d.unionByName(near), bits=32, max_hamming=3, bands=4)
+    cc = DD.connected_components(pairs)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
+    )
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH-bucketed approximate top-k — the bucketed ANN scale
     path (only bucket-sharing candidates are scored)."""
@@ -987,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_applications": q_val_applications,
         "val_props_map": q_val_props_map,
         "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "frame_sample": q_frame_sample,
     }
@@ -1044,6 +1072,30 @@ cand AS (
 )
 SELECT doc1, doc2, bit_count(xor(h1, h2)) AS hamming
 FROM cand WHERE bit_count(xor(h1, h2)) <= {max_hamming}
+"""
+
+
+def _sql_dup_clusters() -> str:
+    """Clusters from the same simhash pair set via a recursive transitive-
+    closure CTE: component = MIN over the reachable set (identical to the
+    engine's hash-min fixpoint on an undirected graph)."""
+    pairs_sql = _sql_simhash_pairs(32, 3, 4)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r FROM edges e JOIN reach re ON re.node = e.b
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
+       STRING_AGG(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM comp GROUP BY component
 """
 
 
@@ -1701,6 +1753,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, mkey, 'TooLong' AS error FROM u WHERE length(val) > 5
         """,
         "simhash_pairs": _sql_simhash_pairs(32, 3, 4),
+        "dup_clusters": _sql_dup_clusters(),
         # multi-table hyperplane LSH candidates, exact cosine on survivors —
         # same plane family as embedding_near_dup (salt = table*1000 + p)
         "cosine_topk_lsh": f"""

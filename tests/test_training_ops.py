@@ -357,3 +357,49 @@ def test_sample_violations(spark):
         by_rule.setdefault(r["rule"], []).append(r["clip_id"])
     assert len(by_rule["r1"]) == 3 and len(by_rule["r2"]) == 3
     assert by_rule["r1"] == sorted(by_rule["r1"])  # deterministic order
+
+
+def test_connected_components_chain_cycle_pairs(spark):
+    # chain 1-2-3-4 (diameter 3 > 1 round), cycle 10-11-12-10, pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "doc1 bigint, doc2 bigint",
+    )
+    got = {r["node"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_converges_on_long_chain(spark):
+    # a 12-node chain needs several hash-min rounds; must converge, and the
+    # min label must propagate end to end
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc1 bigint, doc2 bigint"
+    )
+    got = {r["node"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    assert set(got.values()) == {100}
+    assert len(got) == 13
+
+
+def test_connected_components_max_iter_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 8)], "doc1 bigint, doc2 bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=2)
+
+
+def test_resolve_duplicates(docs):
+    # exact pair (0,3) + near pair (0,1) -> cluster {0,1,3} canonical 0;
+    # docs 2,4,5 untouched by this pair list
+    pairs = docs.sparkSession.createDataFrame(
+        [(0, 3), (0, 1)], "doc1 bigint, doc2 bigint"
+    )
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in DD.resolve_duplicates(docs, pairs).collect()
+    }
+    assert got[0] == (0, True)
+    assert got[1] == (0, False)
+    assert got[3] == (0, False)
+    for i in (2, 4, 5):
+        assert got[i] == (i, True)

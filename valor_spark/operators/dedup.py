@@ -352,3 +352,102 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc1",
+    dst: str = "doc2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list by hash-min label
+    propagation: returns ``(node, component)`` where ``component`` is the
+    minimum node id in the component — the canonical representative every
+    near-dup pipeline needs to turn pair lists into keep/drop decisions.
+
+    Each round computes ``label'(v) = min(label(v), min over neighbours'
+    labels)`` as one shuffle join on node id plus one min-aggregate, and
+    stops when no label changed (one cheap ``limit(1).count()`` probe per
+    round).  Rounds needed = O(component diameter): LSH near-dup components
+    are band-bounded near-cliques (diameter ~2), so 2-3 rounds in practice.
+    The driver-side loop iterates O(log n) *times*, never over rows; each
+    round's labels are eagerly ``localCheckpoint``-ed, which both
+    materializes them and TRUNCATES the logical lineage — without that the
+    plan tree doubles per round and the driver OOMs serializing it by round
+    ~7 (caching alone does not cut the logical plan).  On a multi-executor
+    cluster a reliable ``spark.sparkContext.setCheckpointDir`` +
+    ``.checkpoint()`` is the executor-loss-safe variant of the same move.
+    For adversarially deep graphs (long chains), alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) makes the round count O(log n);
+    not needed for dedup workloads.
+
+    Raises ``RuntimeError`` if labels have not converged after ``max_iter``
+    rounds (propagation advances the min at least one hop per round, so this
+    only trips on graphs with diameter > max_iter).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    edges.cache()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = edges.join(
+                labels.withColumnRenamed("node", "b"), on="b"
+            ).select(F.col("a").alias("node"), "label")
+            new_labels = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("node", F.col("label").alias("component"))
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    finally:
+        edges.unpersist()
+
+
+def resolve_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc1",
+    dst: str = "doc2",
+) -> DataFrame:
+    """Annotate ``df`` with the canonical representative of each near-dup
+    cluster: adds ``canonical_id`` (the min id in the node's component, the
+    id itself for docs in no pair) and ``is_canonical``.  Downstream, a
+    training-data pipeline keeps ``is_canonical`` rows and drops the rest.
+
+    The components table is tiny relative to the corpus (only docs that
+    appear in a pair), so the join back is broadcast-able; Spark's AQE picks
+    the strategy from the actual size.
+    """
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        df.join(comp, on=id_col, how="left")
+        .withColumn("canonical_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("is_canonical", F.col("canonical_id") == F.col(id_col))
+        .drop("component")
+    )
