@@ -787,6 +787,21 @@ def q_val_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("clip_id", "rule", "error")
 
 
+def q_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip PCM quality profile (peak / exact sum-of-squares / clipping
+    / silence runs) in the graded gate: ONE mapInArrow pass, no shuffle,
+    ALL-INTEGER outputs so the comparison is engine-exact.  The oracle reads
+    expected stats derived independently from the generator SPEC
+    (spec -> synth_pcm -> numpy stats), so bytes -> decode -> stats is
+    tested end-to-end (sources/audio_fixture.py::build_audio_profile_fixture)."""
+    from valor_spark.operators.audio import audio_profile
+    from valor_spark.sources.audio_fixture import build_audio_fixture
+
+    paths = build_audio_fixture(FIXTURE_DIR)
+    clips = spark.read.parquet(paths["clips"])
+    return audio_profile(clips)
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode in the graded gate: BMP/PGM/PPM bytes decoded with
     numpy in the Arrow mapInPandas pass (true dims, intensity, block
@@ -1004,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_string_payload": q_val_string_payload,
         "stream_validate": q_stream_validate,
         "val_audio": q_val_audio,
+        "audio_profile": q_audio_profile,
         "lsh_buckets": q_lsh_buckets,
         "orders_by_month": q_orders_by_month,
         "cube_orders": q_cube_orders,
@@ -1257,6 +1273,9 @@ def oracle_sql() -> dict[str, str]:
     _ensure_apps_fixture()
     stream_src = _ensure_stream_fixture()
     audio_expected = build_audio_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.audio_fixture import build_audio_profile_fixture
+
+    audio_profile_expected = build_audio_profile_fixture(FIXTURE_DIR)
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
@@ -1508,6 +1527,9 @@ def oracle_sql() -> dict[str, str]:
         # the planted ground truth for the REAL decode pipeline (see
         # q_val_audio / sources/audio_fixture.py)
         "val_audio": f"SELECT clip_id, rule, error FROM read_parquet('{audio_expected}')",
+        # independent spec-side derivation (spec -> synth_pcm -> numpy ints);
+        # Spark runs bytes -> decode -> stats over the same clips parquet
+        "audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",
         # expected stats derived from the SOURCE pixel arrays (see
         # q_image_stats / sources/image_fixture.py); features serialized to
         # one %.4f-formatted string — lists are unhashable in the driver's

@@ -187,3 +187,66 @@ def test_audio_rules_emit_violations(spark, invariant, oracle):
     assert by_rule.get("audio_snr", 0) == n_corrupt
     assert by_rule.get("audio_decode", 0) == n_decode_err
     assert by_rule.get("transcript_equal", 0) == n_mismatch
+
+
+def test_audio_profile_hand_computed(spark):
+    # clip A: [-32768, 32767, 0, 0, 100, 0] -> both rails clipped, silence
+    # threshold 512: loud idx {0,1}, lead 0, trail 4 (idx 2..5 silent)
+    a = np.array([-32768, 32767, 0, 0, 100, 0], dtype="<i2")
+    # clip B: all below threshold -> fully silent, lead=trail=n
+    b = np.array([1, -2, 3], dtype="<i2")
+    # clip C: empty payload
+    c = np.array([], dtype="<i2")
+    rows = [
+        ("A", a.tobytes(), "pcm_s16le"),
+        ("B", b.tobytes(), "pcm_s16le"),
+        ("C", c.tobytes(), "pcm_s16le"),
+        ("W", S.wrap_wav(a, 16000), "wav"),
+        ("ODD", b"\x01", "pcm_s16le"),
+        ("BAD", a.tobytes(), "mp3"),
+        ("NULL", None, "pcm_s16le"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r["clip_id"]: r.asDict() for r in A.audio_profile(df).collect()}
+
+    exp_a = dict(
+        n_samples=6, peak_abs=32768,
+        sum_sq=32768**2 + 32767**2 + 100**2,
+        n_clipped=2, n_silent=4, lead_silence=0, trail_silence=4,
+        decode_error=None,
+    )
+    for k, v in exp_a.items():
+        assert got["A"][k] == v, (k, got["A"])
+        assert got["W"][k] == v, (k, got["W"])  # WAV wraps the same pcm
+    assert got["B"]["n_silent"] == 3 and got["B"]["lead_silence"] == 3
+    assert got["B"]["trail_silence"] == 3 and got["B"]["n_clipped"] == 0
+    assert got["C"]["n_samples"] == 0 and got["C"]["decode_error"] is None
+    assert got["ODD"]["decode_error"] == "odd_byte_length"
+    assert got["BAD"]["decode_error"] == "unsupported_codec:mp3"
+    assert got["NULL"]["decode_error"] == "null_bytes"
+
+
+def test_audio_profile_derived_and_quality_rules(spark):
+    from valor_spark.plans.engine import validate
+
+    loud = np.full(100, 32767, dtype="<i2")       # 100% clipped
+    quiet = np.zeros(100, dtype="<i2")            # zero signal + silent
+    ok = (np.sin(np.arange(100)) * 20000).astype("<i2")
+    df = spark.createDataFrame(
+        [("L", loud.tobytes(), "pcm_s16le"),
+         ("Q", quiet.tobytes(), "pcm_s16le"),
+         ("OK", ok.tobytes(), "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    )
+    prof = A.audio_profile(df)
+    der = {r["clip_id"]: r.asDict() for r in A.audio_profile_derived(prof).collect()}
+    assert der["L"]["clipping_ratio"] == 1.0
+    assert der["L"]["rms"] == pytest.approx(32767.0)
+    assert der["Q"]["silence_ratio"] == 1.0 and der["Q"]["peak_dbfs"] is None
+    assert 0.0 < der["OK"]["rms"] < 20000.0
+
+    res = validate(prof, rules=A.audio_quality_rules(), key_cols=["clip_id"])
+    vio = {(r["clip_id"], r["rule"]) for r in res.violations().collect()}
+    assert ("L", "audio_clipping") in vio
+    assert ("Q", "audio_silence") in vio and ("Q", "audio_zero_signal") in vio
+    assert not any(cid == "OK" for cid, _ in vio)

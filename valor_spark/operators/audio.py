@@ -265,3 +265,193 @@ def audio_rules(snr_db_min: float = SNR_DB_MIN) -> dict:
         "transcript_equal": transcript_rule,
         "sr_header_consistent": sr_header_rule,
     }
+
+
+def audio_profile(clips: DataFrame, silence_threshold: int = 512) -> DataFrame:
+    """Per-clip PCM quality profile in ONE ``mapInArrow`` pass over the
+    pruned ``(clip_id, bytes, codec)`` projection: sample count, peak
+    absolute amplitude, exact int64 sum of squares, clipped-sample count
+    (|s| >= 32767, either rail), silent-sample count (|s| < threshold) and
+    the leading/trailing silence run lengths, plus the decode error.
+
+    ALL outputs are integers (or the error string): derived floats — RMS,
+    peak dBFS, clipping/silence ratios — are one JVM projection away
+    (:func:`audio_profile_derived`) and never cross the Arrow boundary, so
+    the Python-side numbers are engine-exact, canonicalizer-safe, and free
+    of float-accumulation-order concerns.
+
+    Scale: same shape as :func:`with_audio_invariant` minus the join —
+    profiling is per-clip, so there is NO shuffle at all: one narrow scan of
+    (clip_id, bytes, codec), one Arrow pass with zero-copy buffer views,
+    output KB-scale per million clips.  Tune
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` for ~64-128 MB batches.
+    """
+    sel = clips.select("clip_id", "bytes", "codec")
+    out_schema = (
+        "clip_id string, n_samples int, peak_abs int, sum_sq bigint, "
+        "n_clipped int, n_silent int, lead_silence int, trail_silence int, "
+        "decode_error string"
+    )
+    thr = int(silence_threshold)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            get_bytes = _binary_views(b.column(1))
+            codecs = b.column(2).to_pylist()
+            n_samples = np.zeros(n, np.int32)
+            peak = np.zeros(n, np.int32)
+            sumsq = np.zeros(n, np.int64)
+            clipped = np.zeros(n, np.int32)
+            silent = np.zeros(n, np.int32)
+            lead = np.zeros(n, np.int32)
+            trail = np.zeros(n, np.int32)
+            errors: list[str | None] = [None] * n
+            for i in range(n):
+                rw = get_bytes(i)
+                cod = codecs[i]
+                if rw is None:
+                    errors[i] = "null_bytes"
+                    continue
+                if cod == "pcm_s16le":
+                    if len(rw) % 2:
+                        errors[i] = "odd_byte_length"
+                        continue
+                    sig = rw.view("<i2")
+                else:
+                    sig, _rate, err = decode_one(rw.tobytes(), cod)
+                    if err is not None:
+                        errors[i] = err
+                        continue
+                m = len(sig)
+                n_samples[i] = m
+                if m == 0:
+                    continue
+                a = np.abs(sig.astype(np.int32))
+                peak[i] = int(a.max())
+                s64 = sig.astype(np.int64)
+                sumsq[i] = int(np.dot(s64, s64))
+                clipped[i] = int((a >= 32767).sum())
+                loud = np.nonzero(a >= thr)[0]
+                silent[i] = m - len(loud)
+                lead[i] = int(loud[0]) if len(loud) else m
+                trail[i] = int(m - 1 - loud[-1]) if len(loud) else m
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0)]
+                + [
+                    pa.array(n_samples, pa.int32()),
+                    pa.array(peak, pa.int32()),
+                    pa.array(sumsq, pa.int64()),
+                    pa.array(clipped, pa.int32()),
+                    pa.array(silent, pa.int32()),
+                    pa.array(lead, pa.int32()),
+                    pa.array(trail, pa.int32()),
+                    pa.array(errors, pa.string()),
+                ],
+                schema=pa.schema(
+                    [b.schema.field(0)]
+                    + [
+                        pa.field("n_samples", pa.int32()),
+                        pa.field("peak_abs", pa.int32()),
+                        pa.field("sum_sq", pa.int64()),
+                        pa.field("n_clipped", pa.int32()),
+                        pa.field("n_silent", pa.int32()),
+                        pa.field("lead_silence", pa.int32()),
+                        pa.field("trail_silence", pa.int32()),
+                        pa.field("decode_error", pa.string()),
+                    ]
+                ),
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
+def audio_profile_derived(prof: DataFrame) -> DataFrame:
+    """JVM-side derived metrics over the integer profile: RMS, peak dBFS,
+    clipping ratio, silence ratio — pure Column arithmetic, whole-stage
+    codegen, no Python."""
+    n = F.col("n_samples")
+    return prof.select(
+        "*",
+        F.when(n > 0, F.sqrt(F.col("sum_sq") / n)).alias("rms"),
+        F.when(
+            F.col("peak_abs") > 0,
+            F.lit(20.0) * F.log10(F.col("peak_abs") / F.lit(32768.0)),
+        ).alias("peak_dbfs"),
+        F.when(n > 0, F.col("n_clipped") / n).alias("clipping_ratio"),
+        F.when(n > 0, F.col("n_silent") / n).alias("silence_ratio"),
+    )
+
+
+def audio_quality_rules(
+    max_clipping_per_mille: int = 10, max_silence_per_mille: int = 900
+) -> dict:
+    """Row rules over the integer profile (pure Valor combinators; integer
+    per-mille thresholds so no float literal enters the comparison):
+    decode failures, clipping beyond threshold, mostly-silent clips, and
+    all-zero signal."""
+    from valor_spark import EArray, make
+
+    EA = EArray()
+    decode_rule = make(
+        lambda row: F.when(
+            row.getField("decode_error").isNotNull(),
+            F.array(F.concat(F.lit("DecodeError:"), row.getField("decode_error"))),
+        ),
+        EA,
+    )
+    clip_rule = make(
+        lambda row: F.when(
+            row.getField("decode_error").isNull()
+            & (row.getField("n_samples") > 0)
+            & (
+                row.getField("n_clipped").cast("bigint") * 1000
+                > F.lit(max_clipping_per_mille) * row.getField("n_samples")
+            ),
+            F.array(
+                F.concat(
+                    F.lit("ClippingDetected:"),
+                    row.getField("n_clipped").cast("string"),
+                    F.lit("/"),
+                    row.getField("n_samples").cast("string"),
+                )
+            ),
+        ),
+        EA,
+    )
+    silence_rule = make(
+        lambda row: F.when(
+            row.getField("decode_error").isNull()
+            & (row.getField("n_samples") > 0)
+            & (
+                row.getField("n_silent").cast("bigint") * 1000
+                > F.lit(max_silence_per_mille) * row.getField("n_samples")
+            ),
+            F.array(
+                F.concat(
+                    F.lit("MostlySilent:"),
+                    row.getField("n_silent").cast("string"),
+                    F.lit("/"),
+                    row.getField("n_samples").cast("string"),
+                )
+            ),
+        ),
+        EA,
+    )
+    zero_rule = make(
+        lambda row: F.when(
+            row.getField("decode_error").isNull()
+            & (row.getField("n_samples") > 0)
+            & (row.getField("peak_abs") == 0),
+            EA.lit(["ZeroSignal"]),
+        ),
+        EA,
+    )
+    return {
+        "audio_decode": decode_rule,
+        "audio_clipping": clip_rule,
+        "audio_silence": silence_rule,
+        "audio_zero_signal": zero_rule,
+    }

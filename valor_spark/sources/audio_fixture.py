@@ -178,3 +178,86 @@ def build_audio_fixture(fixture_dir: str) -> dict[str, str]:
         paths["expected"],
     )
     return paths
+
+
+def _profile_int_stats(pcm, thr: int) -> tuple[int, int, int, int, int, int, int]:
+    """Integer quality stats from a GENERATOR-side pcm array (the fixture's
+    independent derivation of operators/audio.py::audio_profile — the gate
+    compares bytes->decode->stats against spec->synth->stats)."""
+    import numpy as np
+
+    m = int(len(pcm))
+    if m == 0:
+        return 0, 0, 0, 0, 0, 0, 0
+    a = np.abs(pcm.astype(np.int32))
+    s64 = pcm.astype(np.int64)
+    loud = np.nonzero(a >= thr)[0]
+    lead = int(loud[0]) if len(loud) else m
+    trail = int(m - 1 - loud[-1]) if len(loud) else m
+    return (
+        m,
+        int(a.max()),
+        int(np.dot(s64, s64)),
+        int((a >= 32767).sum()),
+        m - len(loud),
+        lead,
+        trail,
+    )
+
+
+PROFILE_SILENCE_THRESHOLD = 512
+
+
+def build_audio_profile_fixture(fixture_dir: str) -> str:
+    """Expected integer profile rows for EVERY clips-parquet row (dups and
+    hot keys included — profiling is per-row, no ref join), written as
+    parquet; returns the path.  Depends on build_audio_fixture for the
+    clips table itself."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = _fixture_tag()
+    path = os.path.join(
+        fixture_dir, f"clips_audio_profile_{PROFILE_SILENCE_THRESHOLD}_{tag}.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    build_audio_fixture(fixture_dir)  # ensure the clips parquet exists
+
+    rows = []
+
+    def add(clip_id, stats, err):
+        rows.append((clip_id, *stats, err))
+
+    zero = (0, 0, 0, 0, 0, 0, 0)
+    for s in expected_clips(N_CLIPS, MAX_SAMPLES):
+        if s.codec not in ("pcm_s16le", "wav"):
+            add(s.clip_id, zero, f"unsupported_codec:{s.codec}")
+            continue
+        pcm = S.synth_pcm(s.g, s.sr_hz, s.dur_ms, MAX_SAMPLES, s.corrupted)
+        if s.truncated:
+            pcm = pcm[: len(pcm) // 2]
+        add(s.clip_id, _profile_int_stats(pcm, PROFILE_SILENCE_THRESHOLD), None)
+    for k in range(N_HEADER_MISMATCH):
+        pcm = np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2")
+        add(f"hdrmm_{k}", _profile_int_stats(pcm, PROFILE_SILENCE_THRESHOLD), None)
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "n_samples": pa.array(cols[1], pa.int32()),
+                "peak_abs": pa.array(cols[2], pa.int32()),
+                "sum_sq": pa.array(cols[3], pa.int64()),
+                "n_clipped": pa.array(cols[4], pa.int32()),
+                "n_silent": pa.array(cols[5], pa.int32()),
+                "lead_silence": pa.array(cols[6], pa.int32()),
+                "trail_silence": pa.array(cols[7], pa.int32()),
+                "decode_error": pa.array(cols[8], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
