@@ -909,6 +909,35 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.py): per-source
+    keep fractions compiled to ONE shuffle-free filter; the md5-bucket
+    decision is engine-portable, so the oracle reproduces the EXACT row
+    set, not just the rate."""
+    from valor_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.stratified_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id",
+        seed="r3",
+        default_fraction=0.1,
+    ).select("doc_id", "source")
+
+
+def q_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir (exactly min(k, |group|) rows per
+    source, smallest md5 bucket first) — the class-balancing primitive."""
+    from valor_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    return SP.sample_k_per_group(docs, "source", 5, "doc_id", seed="r3").select(
+        "doc_id", "source"
+    )
+
+
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH-bucketed approximate top-k — the bucketed ANN scale
     path (only bucket-sharing candidates are scored)."""
@@ -1031,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_props_map": q_val_props_map,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "stratified_docs": q_stratified_docs,
+        "balanced_docs": q_balanced_docs,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "frame_sample": q_frame_sample,
     }
@@ -1776,6 +1807,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _sql_simhash_pairs(32, 3, 4),
         "dup_clusters": _sql_dup_clusters(),
+        # md5-hex buckets compare lexicographically like the numbers they
+        # encode; thresholds are int(f * 16^8) in hex (0.5 -> 80000000,
+        # 0.25 -> 40000000, 0.1 -> 19999999); fraction 1.0 is plain TRUE
+        "stratified_docs": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     substring(md5(CAST(doc_id AS VARCHAR) || ':r3'), 1, 8) AS b
+              FROM documents
+            )
+            WHERE CASE source
+                    WHEN 'src0' THEN TRUE
+                    WHEN 'src1' THEN b < '80000000'
+                    WHEN 'src2' THEN b < '40000000'
+                    ELSE b < '19999999'
+                  END
+        """,
+        "balanced_docs": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':r3'), 1, 8),
+                                doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 5
+        """,
         # multi-table hyperplane LSH candidates, exact cosine on survivors —
         # same plane family as embedding_near_dup (salt = table*1000 + p)
         "cosine_topk_lsh": f"""

@@ -403,3 +403,68 @@ def test_resolve_duplicates(docs):
     assert got[3] == (0, False)
     for i in (2, 4, 5):
         assert got[i] == (i, True)
+
+
+# --- deterministic sampling (operators/sampling.py) ------------------------
+
+def test_hash_sample_deterministic_and_portable(spark):
+    import hashlib
+
+    from valor_spark.operators import sampling as SP
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id bigint")
+    got = {r["id"] for r in SP.hash_sample(df, 0.3, "id", seed="s1").collect()}
+    # exact pure-Python replication of the decision
+    thr = format(int(0.3 * 16**8), "08x")
+    exp = {
+        i for i in range(2000)
+        if hashlib.md5(f"{i}:s1".encode()).hexdigest()[:8] < thr
+    }
+    assert got == exp
+    assert 0.25 < len(got) / 2000 < 0.35
+    # partitioning-independent
+    got2 = {
+        r["id"]
+        for r in SP.hash_sample(df.repartition(13), 0.3, "id", seed="s1").collect()
+    }
+    assert got2 == got
+    assert SP.hash_sample(df, 0.0, "id").count() == 0
+    assert SP.hash_sample(df, 1.0, "id").count() == 2000
+
+
+def test_stratified_sample_per_stratum(spark):
+    from valor_spark.operators import sampling as SP
+
+    rows = [(i, "a" if i % 2 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    out = SP.stratified_sample(
+        df, "grp", {"a": 1.0, "b": 0.2}, "id", seed="s2"
+    ).groupBy("grp").count().collect()
+    counts = {r["grp"]: r["count"] for r in out}
+    assert counts["a"] == 500           # fraction 1.0 keeps every 'a'
+    assert 60 < counts.get("b", 0) < 140
+    # unlisted strata get default_fraction (0.0)
+    df2 = df.withColumn("grp", F.when(F.col("id") < 10, "c").otherwise(F.col("grp")))
+    out2 = SP.stratified_sample(df2, "grp", {"a": 1.0}, "id", seed="s2")
+    assert out2.filter(F.col("grp") == "c").count() == 0
+
+
+def test_sample_k_per_group_exact(spark):
+    import hashlib
+
+    from valor_spark.operators import sampling as SP
+
+    rows = [(i, f"g{i % 7}") for i in range(400)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "id bigint, grp string")
+    out = SP.sample_k_per_group(df, "grp", 5, "id", seed="s3").collect()
+    by_grp: dict = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], set()).add(r["id"])
+    assert all(len(v) == 5 for g, v in by_grp.items() if g != "tiny")
+    assert by_grp["tiny"] == {1000}     # min(k, group size)
+    # matches the pure-Python smallest-bucket selection
+    g0 = sorted(
+        (i for i in range(400) if i % 7 == 0),
+        key=lambda i: (hashlib.md5(f"{i}:s3".encode()).hexdigest()[:8], i),
+    )[:5]
+    assert by_grp["g0"] == set(g0)
