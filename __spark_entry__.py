@@ -909,6 +909,62 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join in the graded gate (operators/temporal.py::asof_join):
+    each purchase picks the user's latest signup at-or-before it via the
+    union + windowed last-non-null formulation (ONE shuffle, no pair
+    explosion); the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the same semantics.  The right stream is
+    aggregated to one row per (user_id, ts) first so ties are
+    deterministic on both engines; timestamps exported as fixed-width
+    strings (tz-independent for the parquet's TIMESTAMP_NTZ values)."""
+    from valor_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("signup_value"))
+    )
+    out = asof_join(purchases, signups, on="user_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts_s"),
+        F.date_format("ts_right", fmt).alias("signup_ts_s"),
+        "signup_value_right",
+    )
+
+
+def q_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval (range) join in the graded gate
+    (operators/temporal.py::interval_join): every 13th signup opens a
+    2-hour window; each purchase joins every window containing it via
+    time-slot bucketing (equi-shuffle on the slot + exact containment
+    refine — never a cross product).  Oracle: plain inequality join."""
+    from valor_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("point_id"), "ts"
+    )
+    intervals = (
+        ev.filter((F.col("event_type") == "signup") & (F.col("event_id") % 13 == 0))
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
+        )
+    )
+    return interval_join(points, intervals, bucket_width_s=3600).select(
+        "point_id", "interval_id"
+    )
+
+
 def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py): per-source
     keep fractions compiled to ONE shuffle-free filter; the md5-bucket
@@ -1062,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "stratified_docs": q_stratified_docs,
         "balanced_docs": q_balanced_docs,
+        "asof_events": q_asof_events,
+        "interval_events": q_interval_events,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "frame_sample": q_frame_sample,
     }
@@ -1833,6 +1891,33 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM documents
             ) WHERE rn <= 5
+        """,
+        # DuckDB's NATIVE ASOF JOIN is the oracle — an independent
+        # implementation of the union+window formulation used engine-side
+        "asof_events": """
+            WITH purchases AS (
+              SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ),
+            signups AS (
+              SELECT user_id, ts, MAX(value) AS signup_value
+              FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+            )
+            SELECT p.event_id, p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+                   strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_s,
+                   s.signup_value AS signup_value_right
+            FROM purchases p ASOF LEFT JOIN signups s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        # plain inequality join (no bucketing) refutes the slot-join if it
+        # drops or duplicates any (point, interval) pair
+        "interval_events": """
+            SELECT p.event_id AS point_id, i.event_id AS interval_id
+            FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT event_id, ts AS lo, ts + INTERVAL 2 HOUR AS hi
+                  FROM events
+                  WHERE event_type = 'signup' AND event_id % 13 = 0) i
+              ON i.lo <= p.ts AND p.ts < i.hi
         """,
         # multi-table hyperplane LSH candidates, exact cosine on survivors —
         # same plane family as embedding_near_dup (salt = table*1000 + p)
