@@ -145,3 +145,73 @@ def test_row_rule_scan_prunes_unused_columns(clips_parquet):
     vio = res.violations()
     p = plan_of(vio)
     assert "bytes" not in p.split("ReadSchema:")[1].splitlines()[0]
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    from valor_spark.operators import sampling as SP
+
+    docs = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    p = plan_of(SP.stratified_sample(docs, "grp", {"0": 0.5, "1": 1.0}, "id"))
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_sample_k_per_group_uses_window_group_limit(spark):
+    from valor_spark.operators import sampling as SP
+
+    docs = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    p = plan_of(SP.sample_k_per_group(docs, "grp", 5, "id"))
+    # map-side per-group top-k pruning before the single shuffle
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange hashpartitioning") <= 2  # pre+post-limit pair
+
+
+def test_asof_join_has_no_join_node(spark):
+    import datetime as dt
+
+    from valor_spark.operators.temporal import asof_join
+
+    l = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 1), "x")], "k bigint, ts timestamp, pay string"
+    )
+    r = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0), 1.0)], "k bigint, ts timestamp, v double"
+    )
+    p = plan_of(asof_join(l, r, on="k"))
+    # the union+window formulation must never plan a join (pair explosion)
+    assert "Join" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_interval_join_is_equi_on_slot(spark):
+    import datetime as dt
+
+    from valor_spark.operators.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5))], "pid bigint, ts timestamp"
+    )
+    ivs = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 23))],
+        "iid bigint, lo timestamp, hi timestamp",
+    )
+    p = plan_of(interval_join(pts, ivs))
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "HashJoin" in p or "SortMergeJoin" in p
+
+
+def test_audio_profile_no_shuffle_pruned_scan(spark, tmp_path_factory):
+    from valor_spark.operators.audio import audio_profile
+
+    path = str(tmp_path_factory.mktemp("profclips"))
+    S.clips(spark, n=100, n_shards=2, max_samples=32).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    p = plan_of(audio_profile(df))
+    assert "Exchange" not in p
+    assert "ReadSchema: struct<clip_id:string,bytes:binary,codec:string>" in p
