@@ -57,6 +57,15 @@ HEADLINE = [
     "simhash_docs",
     "minhash_lsh_pairs",
     "cosine_topk",
+    # round-3 additions — the measured set WIDENED here, so compare totals
+    # across rounds on the common prefix above; per-query timings are in
+    # the "queries" dict either way
+    "dup_clusters",
+    "audio_profile",
+    "stratified_docs",
+    "balanced_docs",
+    "asof_events",
+    "interval_events",
 ]
 
 
