@@ -1002,6 +1002,14 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk_lsh(emb, queries, k=3, n_planes=6, n_tables=2)
 
 
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the WHOLE embedding corpus (multi-table
+    LSH self-join — cosine_topk_lsh without the broadcast; the curation
+    backbone for near-dup pruning / diversity sampling)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.knn_graph(emb, k=3, n_planes=6, n_tables=2)
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (sequence + explode): one row per sampled
     frame index; zero-frame videos yield no rows.  Frame counts derived
@@ -1121,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": q_asof_events,
         "interval_events": q_interval_events,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "knn_graph": q_knn_graph,
         "frame_sample": q_frame_sample,
     }
 
@@ -1921,6 +1930,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # multi-table hyperplane LSH candidates, exact cosine on survivors —
         # same plane family as embedding_near_dup (salt = table*1000 + p)
+        "knn_graph": f"""
+            WITH c AS (
+              SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            cb AS (
+              {" UNION ALL ".join(
+                  "SELECT nid, v, " + str(t) + " AS tbl, "
+                  + " + ".join(
+                      f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
+                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"THEN {1 << p} ELSE 0 END)"
+                      for p in range(6)
+                  )
+                  + " AS bucket FROM c"
+                  for t in range(2)
+              )}
+            ),
+            cand AS (
+              SELECT DISTINCT a.nid AS src_id, b.nid AS nbr_id
+              FROM cb a JOIN cb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+              WHERE a.nid != b.nid
+            ),
+            scored AS (
+              SELECT cand.src_id, cand.nbr_id,
+                     ROUND(list_cosine_similarity(a.v, b.v), 6) AS score
+              FROM cand JOIN c a ON a.nid = cand.src_id JOIN c b ON b.nid = cand.nbr_id
+            )
+            SELECT src_id, nbr_id, score,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY src_id ORDER BY score DESC, nbr_id) AS rank
+            FROM scored QUALIFY rank <= 3
+        """,
         "cosine_topk_lsh": f"""
             WITH c AS (
               SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings

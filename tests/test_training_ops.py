@@ -468,3 +468,17 @@ def test_sample_k_per_group_exact(spark):
         key=lambda i: (hashlib.md5(f"{i}:s3".encode()).hexdigest()[:8], i),
     )[:5]
     assert by_grp["g0"] == set(g0)
+
+
+def test_knn_graph_recall_and_determinism(emb):
+    # top-1 neighbor from the LSH graph must agree with brute force for
+    # most vectors (multi-table LSH recall), and the graph is deterministic
+    graph = SIM.knn_graph(emb, k=1, n_planes=4, n_tables=3)
+    got = {r["src_id"]: r["nbr_id"] for r in graph.collect()}
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    brute = SIM.cosine_topk(emb, emb, k=1)
+    want = {r["query_id"]: r["neighbor_id"] for r in brute.collect()}
+    hits = sum(1 for i in ids if got.get(i) == want.get(i))
+    assert hits / len(ids) > 0.6, (hits, len(ids))
+    got2 = {r["src_id"]: r["nbr_id"] for r in SIM.knn_graph(emb, k=1, n_planes=4, n_tables=3).collect()}
+    assert got == got2

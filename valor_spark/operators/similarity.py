@@ -273,3 +273,68 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN GRAPH: every corpus vector gets its top-k
+    bucket-sharing neighbors — the backbone of embedding-based curation
+    (near-dup pruning, diversity sampling, cluster seeding).
+
+    Same multi-table LSH shape as :func:`cosine_topk_lsh` with the
+    broadcast removed: both sides are the full corpus, so the bucket join
+    is a repartition self-join on ``(table, bucket)``.  Candidate volume is
+    ~ ``n_tables * N * E[bucket size]`` = ``n_tables^2 * N^2 / 2^n_planes``
+    worst-case uniform; raise ``n_planes`` as N grows to hold bucket sizes
+    constant.  Dense embedding regions make hot buckets — AQE's skew-join
+    split handles the stragglers (enabled in the engine defaults).
+    Scores are rounded to 6 decimals (engine-portable) and ties rank by
+    ascending neighbor id, making the graph fully deterministic.
+    """
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _f64(F.col(vec_col)).alias("v")
+    )
+
+    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(idc),
+            F.col("v").alias(vc),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            lsh_bucket(F.col("v"), n_planes, t).alias("bucket"),
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(idc, vc, "tb.table", "tb.bucket")
+
+    a = with_buckets(base, "src_id", "av")
+    b = with_buckets(base, "nbr_id", "bv")
+    scored = (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .dropDuplicates(["src_id", "nbr_id"])
+        .select(
+            "src_id",
+            "nbr_id",
+            F.round(cosine(F.col("av"), F.col("bv")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(
+        F.col("score").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "nbr_id", "score", "rank")
+    )
