@@ -802,6 +802,23 @@ def q_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_profile(clips)
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-based utterance segmentation in the graded gate: maximal
+    non-silent runs (gaps < min_gap don't split, segments < min_len drop)
+    emitted as integer sample boundaries from ONE mapInArrow pass — a map
+    operator that outputs MORE rows than it reads.  Oracle reads expected
+    segments derived independently from the generator spec."""
+    from valor_spark.operators.audio import audio_segments
+    from valor_spark.sources.audio_fixture import SEGMENTS_PARAMS, build_audio_fixture
+
+    paths = build_audio_fixture(FIXTURE_DIR)
+    clips = spark.read.parquet(paths["clips"])
+    thr, gap, mlen = SEGMENTS_PARAMS
+    return audio_segments(
+        clips, silence_threshold=thr, min_gap=gap, min_len=mlen
+    )
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode in the graded gate: BMP/PGM/PPM bytes decoded with
     numpy in the Arrow mapInPandas pass (true dims, intensity, block
@@ -1113,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_validate": q_stream_validate,
         "val_audio": q_val_audio,
         "audio_profile": q_audio_profile,
+        "audio_segments": q_audio_segments,
         "lsh_buckets": q_lsh_buckets,
         "orders_by_month": q_orders_by_month,
         "cube_orders": q_cube_orders,
@@ -1374,6 +1392,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_profile_fixture
 
     audio_profile_expected = build_audio_profile_fixture(FIXTURE_DIR)
+    from valor_spark.sources.audio_fixture import build_audio_segments_fixture
+
+    audio_segments_expected = build_audio_segments_fixture(FIXTURE_DIR)
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
@@ -1628,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         # independent spec-side derivation (spec -> synth_pcm -> numpy ints);
         # Spark runs bytes -> decode -> stats over the same clips parquet
         "audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",
+        "audio_segments": f"SELECT * FROM read_parquet('{audio_segments_expected}')",
         # expected stats derived from the SOURCE pixel arrays (see
         # q_image_stats / sources/image_fixture.py); features serialized to
         # one %.4f-formatted string — lists are unhashable in the driver's

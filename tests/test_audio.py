@@ -250,3 +250,32 @@ def test_audio_profile_derived_and_quality_rules(spark):
     assert ("L", "audio_clipping") in vio
     assert ("Q", "audio_silence") in vio and ("Q", "audio_zero_signal") in vio
     assert not any(cid == "OK" for cid, _ in vio)
+
+
+def test_audio_segments_hand_computed(spark):
+    loud, quiet = 5000, 0
+    # clip A: [loud x6][quiet x20][loud x8] with gap 20 > min_gap 16 -> 2 segs
+    a = np.array([loud] * 6 + [quiet] * 20 + [loud] * 8, dtype="<i2")
+    # clip B: [loud x5][quiet x10][loud x5] gap 10 <= 16 -> ONE bridged seg
+    b = np.array([loud] * 5 + [quiet] * 10 + [loud] * 5, dtype="<i2")
+    # clip C: [loud x2] -> shorter than min_len 4 -> dropped
+    c = np.array([loud] * 2, dtype="<i2")
+    # clip D: all silent -> no rows
+    d = np.zeros(30, dtype="<i2")
+    rows = [
+        ("A", a.tobytes(), "pcm_s16le"),
+        ("B", b.tobytes(), "pcm_s16le"),
+        ("C", c.tobytes(), "pcm_s16le"),
+        ("D", d.tobytes(), "pcm_s16le"),
+        ("BAD", a.tobytes(), "mp3"),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    segs = A.audio_segments(df, silence_threshold=512, min_gap=16, min_len=4)
+    got = {}
+    for r in segs.collect():
+        got.setdefault(r["clip_id"], []).append(
+            (r["seg_idx"], r["start_sample"], r["end_sample"])
+        )
+    assert sorted(got["A"]) == [(0, 0, 6), (1, 26, 34)]
+    assert sorted(got["B"]) == [(0, 0, 20)]       # bridged across short gap
+    assert "C" not in got and "D" not in got and "BAD" not in got

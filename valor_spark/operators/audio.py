@@ -455,3 +455,90 @@ def audio_quality_rules(
         "audio_silence": silence_rule,
         "audio_zero_signal": zero_rule,
     }
+
+
+def audio_segments(
+    clips: DataFrame,
+    silence_threshold: int = 512,
+    min_gap: int = 16,
+    min_len: int = 4,
+) -> DataFrame:
+    """Split each clip's PCM into non-silent SEGMENTS — the prep step that
+    turns long recordings into trainable utterances.  A segment is a
+    maximal run of sound where silences shorter than ``min_gap`` samples do
+    not split it; segments shorter than ``min_len`` samples are dropped.
+    Emits one row per segment: ``(clip_id, seg_idx, start_sample,
+    end_sample)`` with ``end_sample`` exclusive — all integers, engine-exact.
+    Undecodable or fully-silent clips emit no rows (they are
+    ``audio_profile``/``audio_quality_rules``'s concern).
+
+    Scale shape: identical to :func:`audio_profile` — pruned 3-column scan,
+    ONE mapInArrow pass (which may emit more rows than it reads — exactly
+    what Arrow map operators allow), zero shuffle; output is
+    segment-boundary integers only, KB-scale per million clips.
+    """
+    sel = clips.select("clip_id", "bytes", "codec")
+    out_schema = (
+        "clip_id string, seg_idx int, start_sample int, end_sample int"
+    )
+    thr = int(silence_threshold)
+    gap = int(min_gap)
+    mlen = int(min_len)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            get_bytes = _binary_views(b.column(1))
+            codecs = b.column(2).to_pylist()
+            ids = b.column(0).to_pylist()
+            out_id: list[str] = []
+            out_seg: list[int] = []
+            out_lo: list[int] = []
+            out_hi: list[int] = []
+            for i in range(b.num_rows):
+                rw = get_bytes(i)
+                cod = codecs[i]
+                if rw is None:
+                    continue
+                if cod == "pcm_s16le":
+                    if len(rw) % 2:
+                        continue
+                    sig = rw.view("<i2")
+                else:
+                    sig, _rate, err = decode_one(rw.tobytes(), cod)
+                    if err is not None:
+                        continue
+                a = np.abs(sig.astype(np.int32))
+                idx = np.nonzero(a >= thr)[0]
+                if idx.size == 0:
+                    continue
+                splits = np.nonzero(np.diff(idx) > gap)[0]
+                starts = np.concatenate(([idx[0]], idx[splits + 1]))
+                ends = np.concatenate((idx[splits], [idx[-1]])) + 1
+                seg = 0
+                for s, e in zip(starts, ends):
+                    if e - s >= mlen:
+                        out_id.append(ids[i])
+                        out_seg.append(seg)
+                        out_lo.append(int(s))
+                        out_hi.append(int(e))
+                        seg += 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.string()),
+                    pa.array(out_seg, pa.int32()),
+                    pa.array(out_lo, pa.int32()),
+                    pa.array(out_hi, pa.int32()),
+                ],
+                schema=pa.schema(
+                    [
+                        pa.field("clip_id", pa.string()),
+                        pa.field("seg_idx", pa.int32()),
+                        pa.field("start_sample", pa.int32()),
+                        pa.field("end_sample", pa.int32()),
+                    ]
+                ),
+            )
+
+    return sel.mapInArrow(gen, out_schema)

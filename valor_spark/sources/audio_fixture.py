@@ -261,3 +261,70 @@ def build_audio_profile_fixture(fixture_dir: str) -> str:
         path,
     )
     return path
+
+
+SEGMENTS_PARAMS = (512, 16, 4)  # threshold, min_gap, min_len
+
+
+def _segments_for(pcm, thr: int, gap: int, mlen: int):
+    """Spec-side segment derivation mirroring audio.audio_segments."""
+    import numpy as np
+
+    a = np.abs(pcm.astype(np.int32))
+    idx = np.nonzero(a >= thr)[0]
+    if idx.size == 0:
+        return []
+    splits = np.nonzero(np.diff(idx) > gap)[0]
+    starts = np.concatenate(([idx[0]], idx[splits + 1]))
+    ends = np.concatenate((idx[splits], [idx[-1]])) + 1
+    return [(int(s), int(e)) for s, e in zip(starts, ends) if e - s >= mlen]
+
+
+def build_audio_segments_fixture(fixture_dir: str) -> str:
+    """Expected (clip_id, seg_idx, start_sample, end_sample) rows for every
+    decodable clips-parquet row; undecodable / fully-silent clips have no
+    rows.  Independent derivation: spec -> synth_pcm -> numpy runs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    thr, gap, mlen = SEGMENTS_PARAMS
+    tag = _fixture_tag()
+    path = os.path.join(
+        fixture_dir, f"clips_audio_segments_{thr}_{gap}_{mlen}_{tag}.parquet"
+    )
+    if os.path.exists(path):
+        return path
+    build_audio_fixture(fixture_dir)
+
+    rows = []
+
+    def add(clip_id, pcm):
+        seg = 0
+        for s, e in _segments_for(pcm, thr, gap, mlen):
+            rows.append((clip_id, seg, s, e))
+            seg += 1
+
+    for sp in expected_clips(N_CLIPS, MAX_SAMPLES):
+        if sp.codec not in ("pcm_s16le", "wav"):
+            continue
+        pcm = S.synth_pcm(sp.g, sp.sr_hz, sp.dur_ms, MAX_SAMPLES, sp.corrupted)
+        if sp.truncated:
+            pcm = pcm[: len(pcm) // 2]
+        add(sp.clip_id, pcm)
+    for k in range(N_HEADER_MISMATCH):
+        add(f"hdrmm_{k}", np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2"))
+
+    cols = list(zip(*rows)) if rows else ([], [], [], [])
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "seg_idx": pa.array(cols[1], pa.int32()),
+                "start_sample": pa.array(cols[2], pa.int32()),
+                "end_sample": pa.array(cols[3], pa.int32()),
+            }
+        ),
+        path,
+    )
+    return path
