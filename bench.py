@@ -66,6 +66,8 @@ HEADLINE = [
     "balanced_docs",
     "asof_events",
     "interval_events",
+    "knn_graph",
+    "audio_segments",
 ]
 
 

@@ -295,16 +295,21 @@ def knn_graph(
     constant.  Dense embedding regions make hot buckets — AQE's skew-join
     split handles the stragglers (enabled in the engine defaults).
     Scores are rounded to 6 decimals (engine-portable) and ties rank by
-    ascending neighbor id, making the graph fully deterministic.
+    ascending neighbor id, making the graph fully deterministic.  Norms are
+    hoisted per ROW below the join (array HOFs are CodegenFallback —
+    interpreted — so each avoided traversal counts); the score keeps the
+    exact ``dot/(na*nb)`` expression shape, so results stay bit-identical
+    to the per-pair formulation and the oracle.
     """
     base = embeddings.select(
         F.col(id_col).alias("id"), _f64(F.col(vec_col)).alias("v")
-    )
+    ).withColumn("n", norm(F.col("v")))
 
-    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
+    def with_buckets(df: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
         return df.select(
             F.col("id").alias(idc),
             F.col("v").alias(vc),
+            F.col("n").alias(nc),
             F.explode(
                 F.array(
                     *[
@@ -316,19 +321,19 @@ def knn_graph(
                     ]
                 )
             ).alias("tb"),
-        ).select(idc, vc, "tb.table", "tb.bucket")
+        ).select(idc, vc, nc, "tb.table", "tb.bucket")
 
-    a = with_buckets(base, "src_id", "av")
-    b = with_buckets(base, "nbr_id", "bv")
+    a = with_buckets(base, "src_id", "av", "an")
+    b = with_buckets(base, "nbr_id", "bv", "bn")
+    den = F.col("an") * F.col("bn")
+    score = F.when(den == 0, F.lit(0.0)).otherwise(
+        dot(F.col("av"), F.col("bv")) / den
+    )
     scored = (
         a.join(b, on=["table", "bucket"])
         .filter(F.col("src_id") != F.col("nbr_id"))
         .dropDuplicates(["src_id", "nbr_id"])
-        .select(
-            "src_id",
-            "nbr_id",
-            F.round(cosine(F.col("av"), F.col("bv")), 6).alias("score"),
-        )
+        .select("src_id", "nbr_id", F.round(score, 6).alias("score"))
     )
     w = Window.partitionBy("src_id").orderBy(
         F.col("score").desc(), F.col("nbr_id").asc()
