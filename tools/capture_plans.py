@@ -116,6 +116,66 @@ def main():
         "folded row; the only Window is per-query top-k.",
     )
 
+    # --- round-3 operators -------------------------------------------------
+    import datetime as dt
+
+    from valor_spark.operators import sampling as SP
+    from valor_spark.operators.audio import audio_profile
+    from valor_spark.operators.similarity import knn_graph
+    from valor_spark.operators.temporal import asof_join, interval_join
+
+    sdocs = spark.range(500).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("grp")
+    )
+    cap(
+        "Stratified sampling: ONE shuffle-free filter (md5-bucket CASE)",
+        SP.stratified_sample(sdocs, "grp", {"0": 0.5, "1": 1.0}, "id"),
+        "Per-stratum fractions compile to a single codegen Filter — no "
+        "shuffle, no per-stratum passes, decision reproducible by any engine.",
+    )
+    cap(
+        "Exact-k-per-group reservoir: WindowGroupLimit prunes map-side",
+        SP.sample_k_per_group(sdocs, "grp", 5, "id"),
+        "Executors keep only k rows per group BEFORE the shuffle; the "
+        "exchange carries k*|groups| rows, not the corpus.",
+    )
+    lft = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 1), "x")], "k bigint, ts timestamp, pay string"
+    )
+    rgt = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0), 1.0)], "k bigint, ts timestamp, v double"
+    )
+    cap(
+        "As-of join: union + windowed last-non-null — NO join node at all",
+        asof_join(lft, rgt, on="k"),
+        "One shuffle of (keys, time); a range-condition join here risks "
+        "|L|x|R| per key, this shape cannot pair-explode.",
+    )
+    pts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5))], "pid bigint, ts timestamp"
+    )
+    ivsdf = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 1, 0), dt.datetime(2024, 1, 1, 23))],
+        "iid bigint, lo timestamp, hi timestamp",
+    )
+    cap(
+        "Interval (range) join: equi-join on the time slot + containment refine",
+        interval_join(pts, ivsdf),
+        "No nested-loop / cartesian; intervals replicate only span/width "
+        "times and each (point, interval) pair meets in exactly one slot.",
+    )
+    cap(
+        "Audio profile: pruned 3-column scan -> ONE MapInArrow, zero shuffle",
+        audio_profile(pq),
+        "All-integer outputs; derived floats are a later JVM projection.",
+    )
+    cap(
+        "k-NN graph: LSH bucket SELF-join (SortMergeJoin), norms hoisted below",
+        knn_graph(emb, k=2, n_planes=4, n_tables=2),
+        "No broadcast of the corpus; post-join projection has zero SQRTs "
+        "(norms ride through the join).",
+    )
+
     hdr = (
         "# BENCH/PLANS.md — physical-plan evidence\n\n"
         "Captured `.explain` output (attribute ids normalized) for the plan\n"
