@@ -1690,7 +1690,7 @@ def oracle_sql() -> dict[str, str]:
                   "SELECT vid, v, " + str(t) + " AS tbl, "
                   + " + ".join(
                       f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
-                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"x * ((sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453 - floor(sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453)) * 2 - 1)), 'sum') >= 0 "
                       f"THEN {1 << p} ELSE 0 END)"
                       for p in range(6)
                   )
@@ -1828,7 +1828,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    {" + ".join(
                        f"(CASE WHEN list_aggregate(list_transform(embedding::DOUBLE[], "
-                       f"(x, i) -> x * sin({p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                       f"(x, i) -> x * ((sin({p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453 - floor(sin({p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453)) * 2 - 1)), 'sum') >= 0 "
                        f"THEN {1 << p} ELSE 0 END)"
                        for p in range(6)
                    )} AS bucket
@@ -1961,7 +1961,7 @@ def oracle_sql() -> dict[str, str]:
                   "SELECT nid, v, " + str(t) + " AS tbl, "
                   + " + ".join(
                       f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
-                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"x * ((sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453 - floor(sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453)) * 2 - 1)), 'sum') >= 0 "
                       f"THEN {1 << p} ELSE 0 END)"
                       for p in range(6)
                   )
@@ -1997,7 +1997,7 @@ def oracle_sql() -> dict[str, str]:
                   "SELECT nid, v, " + str(t) + " AS tbl, "
                   + " + ".join(
                       f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
-                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"x * ((sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453 - floor(sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453)) * 2 - 1)), 'sum') >= 0 "
                       f"THEN {1 << p} ELSE 0 END)"
                       for p in range(6)
                   )
@@ -2010,7 +2010,7 @@ def oracle_sql() -> dict[str, str]:
                   "SELECT qid, v, " + str(t) + " AS tbl, "
                   + " + ".join(
                       f"(CASE WHEN list_aggregate(list_transform(v, (x, i) -> "
-                      f"x * sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233)), 'sum') >= 0 "
+                      f"x * ((sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453 - floor(sin({t * 1000 + p}.0 * 12.9898 + (i - 1) * 78.233) * 43758.5453)) * 2 - 1)), 'sum') >= 0 "
                       f"THEN {1 << p} ELSE 0 END)"
                       for p in range(6)
                   )

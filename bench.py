@@ -403,6 +403,9 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "| spark.task.cpus=2 for Arrow-heavy configs | audio 9.0 -> 3.5 s (local[8] vs local[32], 480k) |",
         "| minhash-LSH candidates shuffled as (doc1,doc2) only, token sets joined back for verification (round 2) | at 10x gate corpus (10k docs, 11.4M verified pairs): shuffle 5.91 GB -> 0.14 GB (42x), wall 235 -> 64 s, and the old toks-through-shuffle shape OOMs a default-heap driver where the new one completes |",
         "| cosine_topk re-bench + norm hoist (round 3): norms computed per ROW below the broadcast join instead of per PAIR (HOFs are CodegenFallback — interpreted), score keeps the exact dot/(qn*cn) expression shape so results stay bit-identical to the oracle | back-to-back trials at sf0.1: 4.14 s cold / 1.10 / 0.91 warm — the round-2 \"regression\" (0.79 -> 1.00) is run-to-run variance around the scan+setup floor at \\|Q\\|=5, not a plan change; the hoist removes 4 of 5 array traversals per pair and its win grows with \\|Q\\| |",
+        "| asof_join: union + windowed last-non-null instead of range-condition join + per-left window (round 3) | identical matches at every density; at uniform 10-200 right-rows/key (1-5M rows) both complete (4.0-4.5 vs 4.8-5.5 s), but on a HOT KEY (50k trades x 20k quotes, one instrument) the naive shape materializes ~5e8 pairs: 20.6 s vs 1.3 s (16x) — and the gap grows with density^2 while asof stays (\\|L\\|+\\|R\\|) log |",
+        "| knn_graph / cosine_topk_lsh: score BEFORE dedup so the dropDuplicates shuffle carries (src,nbr,score) scalars, not two d-dim vectors (round 3) | fat-shuffle variant OOMs a 1 GB executor heap at N=20k, d=32; narrow variant completes — even on a pathological all-near-dup corpus (56.5 s on 8 GB) |",
+        "| LSH planes: full shader-noise hash fract(sin(p*a+d*b)*43758.5453) instead of bare sin(p*a+d*b) (round 3) | bare-sin plane normals all lie in ONE 2-D subspace (span of sin(d*b), cos(d*b)) -> n planes give at most 2n buckets: measured exactly 20 distinct at n_planes=10; after the fix 1020 distinct (avg 19.6 vecs/bucket), knn_graph N=20k wall 14.6 -> 2.9 s warm (5x) and candidate volume shrinks ~50x at scale; recall now actually follows ((pi-theta)/pi)^planes as designed |",
         "",
         "Run-to-run variance on this shared sandbox is substantial (same",
         "config measured 0.57-0.95 across a session depending on page-cache",

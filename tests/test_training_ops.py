@@ -472,13 +472,19 @@ def test_sample_k_per_group_exact(spark):
 
 def test_knn_graph_recall_and_determinism(emb):
     # top-1 neighbor from the LSH graph must agree with brute force for
-    # most vectors (multi-table LSH recall), and the graph is deterministic
-    graph = SIM.knn_graph(emb, k=1, n_planes=4, n_tables=3)
+    # most vectors.  With genuinely decorrelated planes, per-table recall
+    # for a theta-degree neighbor is ((pi-theta)/pi)^planes, so the test
+    # runs 3 planes x 4 tables (expected ~0.76 for theta~60deg random
+    # gaussians) — the pre-fix correlated planes passed ANY setting because
+    # everything shared ~2n buckets.
+    graph = SIM.knn_graph(emb, k=1, n_planes=3, n_tables=4)
     got = {r["src_id"]: r["nbr_id"] for r in graph.collect()}
     ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
     brute = SIM.cosine_topk(emb, emb, k=1)
     want = {r["query_id"]: r["neighbor_id"] for r in brute.collect()}
     hits = sum(1 for i in ids if got.get(i) == want.get(i))
-    assert hits / len(ids) > 0.6, (hits, len(ids))
-    got2 = {r["src_id"]: r["nbr_id"] for r in SIM.knn_graph(emb, k=1, n_planes=4, n_tables=3).collect()}
+    assert hits / len(ids) > 0.55, (hits, len(ids))
+    # the planted near-duplicate (vec 1 ~ vec 0, theta~0) must always pair
+    assert got[0] == 1 and got[1] == 0
+    got2 = {r["src_id"]: r["nbr_id"] for r in SIM.knn_graph(emb, k=1, n_planes=3, n_tables=4).collect()}
     assert got == got2

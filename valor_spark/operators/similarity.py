@@ -98,14 +98,34 @@ def cosine_topk(
 
 def _pseudo_plane_sign(vec: Column, plane_idx: int) -> Column:
     """Sign of <vec, r_p> where r_p is a deterministic pseudo-random
-    hyperplane: r_p[d] = sin(p * 12.9898 + d * 78.233) (classic shader-noise
-    constants — fully reproducible in any engine)."""
+    hyperplane via the FULL shader-noise hash:
+    ``r_p[d] = fract(sin(p*12.9898 + d*78.233) * 43758.5453) * 2 - 1``.
+
+    The ``fract(sin(.) * 43758.5453)`` step is essential, not cosmetic:
+    bare ``sin(p*a + d*b)`` planes are all linear combinations of the same
+    two basis vectors ``(sin(d*b), cos(d*b))``, so every plane normal lives
+    in ONE 2-D subspace and n planes cut it into at most 2n sectors — we
+    measured exactly 20 distinct buckets at n_planes=10 (instead of up to
+    1024), inflating LSH candidate volume ~50x at scale.  Multiplying by a
+    large constant and taking the fractional part decorrelates dimensions
+    (the classic GLSL hash) while staying exactly reproducible in any
+    engine: sin/floor are IEEE-deterministic double ops."""
     proj = F.aggregate(
         F.zip_with(
             vec,
             F.sequence(F.lit(0), F.size(vec) - 1),
             lambda x, d: x
-            * F.sin(F.lit(float(plane_idx)) * 12.9898 + d.cast("double") * 78.233),
+            * (
+                (
+                    lambda v: (v - F.floor(v)) * 2 - 1
+                )(
+                    F.sin(
+                        F.lit(float(plane_idx)) * 12.9898
+                        + d.cast("double") * 78.233
+                    )
+                    * 43758.5453
+                )
+            ),
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
@@ -255,15 +275,17 @@ def cosine_topk_lsh(
         "neighbor_id",
         "cv",
     )
+    # score BEFORE deduping so the dedup shuffle carries scalars, not the
+    # two d-dim vectors (same fat-shuffle fix as knn_graph — see ledger)
     scored = (
         c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -329,11 +351,17 @@ def knn_graph(
     score = F.when(den == 0, F.lit(0.0)).otherwise(
         dot(F.col("av"), F.col("bv")) / den
     )
+    # score BEFORE deduping: the dedup is a shuffle, and scoring first means
+    # it carries (src, nbr, score) scalars instead of two d-dim vectors —
+    # the fat-shuffle variant OOMs a default heap at N=20k, d=32 (measured;
+    # BENCH/BASELINE.md ledger).  A pair duplicated across tables computes
+    # its (deterministic) score up to n_tables times — compute is cheaper
+    # than shuffling arrays.
     scored = (
         a.join(b, on=["table", "bucket"])
         .filter(F.col("src_id") != F.col("nbr_id"))
-        .dropDuplicates(["src_id", "nbr_id"])
         .select("src_id", "nbr_id", F.round(score, 6).alias("score"))
+        .dropDuplicates(["src_id", "nbr_id"])
     )
     w = Window.partitionBy("src_id").orderBy(
         F.col("score").desc(), F.col("nbr_id").asc()
