@@ -171,15 +171,20 @@ def main(sf_dir: str, partitions: int = 8, only: set[str] | None = None) -> int:
 
 if __name__ == "__main__":
     args = sys.argv[1:]
-    parts = 8
+    parts_list = [8]
     only = None
     if "--partitions" in args:
         i = args.index("--partitions")
-        parts = int(args[i + 1])
+        parts_list = [int(p) for p in args[i + 1].split(",")]
         del args[i : i + 2]
     if "--only" in args:
         i = args.index("--only")
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
     sf = args[0] if args else "/root/testdata/sf0.01"
-    raise SystemExit(main(sf, partitions=parts, only=only))
+    rc = 0
+    for parts in parts_list:
+        if len(parts_list) > 1:
+            print(f"=== shuffle.partitions={parts} ===")
+        rc = rc or main(sf, partitions=parts, only=only)
+    raise SystemExit(rc)
