@@ -982,6 +982,29 @@ def q_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END dedup flow a training-data pipeline runs: near-dup
+    pair generation (SimHash pigeonhole banding) -> connected components
+    (hash-min) -> canonical-id resolution (resolve_duplicates) -> per-source
+    keep statistics.  Oracle composes the same stages in SQL: banded pairs
+    CTE + recursive transitive closure + LEFT JOIN resolution."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text", "source"
+    )
+    near = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        "source",
+    )
+    corpus = d.unionByName(near)
+    pairs = DD.simhash_pairs(corpus, bits=32, max_hamming=3, bands=4)
+    resolved = DD.resolve_duplicates(corpus.drop("text"), pairs)
+    return resolved.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
 def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py): per-source
     keep fractions compiled to ONE shuffle-free filter; the md5-bucket
@@ -1142,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_props_map": q_val_props_map,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "dedup_pipeline": q_dedup_pipeline,
         "stratified_docs": q_stratified_docs,
         "balanced_docs": q_balanced_docs,
         "asof_events": q_asof_events,
@@ -1228,6 +1252,38 @@ comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
 SELECT component, CAST(COUNT(*) AS BIGINT) AS n_members,
        STRING_AGG(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
 FROM comp GROUP BY component
+"""
+
+
+def _sql_dedup_pipeline() -> str:
+    """End-to-end dedup oracle: banded pairs + transitive closure (as in
+    _sql_dup_clusters) + LEFT-JOIN canonical resolution + per-source stats."""
+    pairs_sql = _sql_simhash_pairs(32, 3, 4)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM pairs
+  UNION
+  SELECT doc2, doc1 FROM pairs
+),
+reach AS (
+  SELECT DISTINCT a AS node, a AS r FROM edges
+  UNION
+  SELECT e.a AS node, re.r FROM edges e JOIN reach re ON re.node = e.b
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+corpus AS (
+  SELECT doc_id, source FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 1000000, source FROM documents WHERE doc_id < 20
+),
+resolved AS (
+  SELECT c.doc_id, c.source, COALESCE(comp.component, c.doc_id) AS canonical
+  FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM resolved GROUP BY source
 """
 
 
@@ -1896,6 +1952,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _sql_simhash_pairs(32, 3, 4),
         "dup_clusters": _sql_dup_clusters(),
+        "dedup_pipeline": _sql_dedup_pipeline(),
         # md5-hex buckets compare lexicographically like the numbers they
         # encode; thresholds are int(f * 16^8) in hex (0.5 -> 80000000,
         # 0.25 -> 40000000, 0.1 -> 19999999); fraction 1.0 is plain TRUE

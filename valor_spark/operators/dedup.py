@@ -224,7 +224,7 @@ def embedding_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
     Candidates = pairs sharing a random-hyperplane bucket in ANY of
-    ``n_tables`` plane families (deterministic sin-derived planes —
+    ``n_tables`` plane families (deterministic shader-noise planes —
     engine-neutral, oracle-replicable); verified with exact cosine.
     Returns (id1, id2, cosine) with cosine >= threshold.
 
