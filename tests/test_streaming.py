@@ -220,3 +220,59 @@ def test_streaming_uniqueness_state_ttl_evicts(spark, tmp_path_factory):
         (r["clip_id"], r["n_seen"]) for r in spark.sql("select * from ttldups_ctl").collect()
     }
     assert ("a", 2) in ctl
+
+
+def test_profile_stream_batch_parity(spark, tmp_path_factory):
+    import numpy as np
+
+    from valor_spark.operators.audio import audio_profile, audio_quality_rules
+    from valor_spark.plans.engine import validate
+    from valor_spark.streaming.validate_stream import profile_stream
+
+    loud = np.full(64, 32767, dtype="<i2").tobytes()
+    quiet = np.zeros(64, dtype="<i2").tobytes()
+    ok = (np.sin(np.arange(64)) * 20000).astype("<i2").tobytes()
+    src = str(tmp_path_factory.mktemp("psrc"))
+    # two files -> maxFilesPerTrigger=1 -> two micro-batches
+    spark.createDataFrame(
+        [("a", loud, "pcm_s16le"), ("b", ok, "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    spark.createDataFrame(
+        [("c", quiet, "pcm_s16le"), ("d", b"\x01", "pcm_s16le")],
+        "clip_id string, bytes binary, codec string",
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("clip_id string, bytes binary, codec string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    profs: list = []
+    vios: list = []
+
+    def on_batch(prof_df, vio_df, batch_id):
+        profs.extend(prof_df.collect())
+        vios.extend(vio_df.collect())
+
+    ckpt = str(tmp_path_factory.mktemp("pckpt"))
+    q = profile_stream(stream, on_batch, ckpt, trigger_once=True)
+    q.awaitTermination(120)
+
+    batch_df = spark.read.parquet(src)
+    want_prof = sorted(
+        tuple(r) for r in audio_profile(batch_df).collect()
+    )
+    assert sorted(tuple(r) for r in profs) == want_prof
+    want_vio = sorted(
+        (r["clip_id"], r["rule"])
+        for r in validate(
+            audio_profile(batch_df), audio_quality_rules(), key_cols=["clip_id"]
+        ).violations().collect()
+    )
+    assert sorted((r["clip_id"], r["rule"]) for r in vios) == want_vio
+    # the planted cases actually fire
+    fired = {(r["clip_id"], r["rule"]) for r in vios}
+    assert ("a", "audio_clipping") in fired
+    assert ("c", "audio_silence") in fired and ("c", "audio_zero_signal") in fired
+    assert ("d", "audio_decode") in fired

@@ -165,3 +165,35 @@ def windowed_violation_counts(
             "violations",
         )
     )
+
+
+def profile_stream(
+    stream_df: DataFrame,
+    on_batch: Callable[[DataFrame, DataFrame, int], None],
+    checkpoint_dir: str,
+    silence_threshold: int = 512,
+    trigger_once: bool = False,
+):
+    """Audio quality profiling over a STREAM of clips: each micro-batch
+    runs the batch operators unchanged (``audio_profile`` mapInArrow pass +
+    ``audio_quality_rules`` through the batch engine) inside
+    ``foreachBatch``, so ``on_batch(profile_df, violations_df, batch_id)``
+    receives output byte-identical to the batch path over the same rows —
+    the ingest-time shape of the audio payload gate (profile clips as they
+    land, quarantine clipped/silent/undecodable ones).  Returns the started
+    StreamingQuery."""
+    from valor_spark.operators.audio import audio_profile, audio_quality_rules
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prof = audio_profile(batch_df, silence_threshold=silence_threshold)
+        res = validate(prof, audio_quality_rules(), key_cols=["clip_id"])
+        on_batch(prof, res.violations(), batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
