@@ -488,3 +488,36 @@ def test_knn_graph_recall_and_determinism(emb):
     assert got[0] == 1 and got[1] == 0
     got2 = {r["src_id"]: r["nbr_id"] for r in SIM.knn_graph(emb, k=1, n_planes=3, n_tables=4).collect()}
     assert got == got2
+
+
+def test_cc_alternating_matches_hashmin(spark):
+    # chain + cycle + pair + random blob: both algorithms must agree exactly
+    import random
+
+    rng = random.Random(11)
+    edges = (
+        [(i, i + 1) for i in range(1, 5)]
+        + [(10, 11), (11, 12), (12, 10), (20, 21)]
+        + [(rng.randrange(100, 160), rng.randrange(100, 160)) for _ in range(80)]
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc1 bigint, doc2 bigint")
+    hm = {r["node"]: r["component"] for r in DD.connected_components(pairs).collect()}
+    alt = {
+        r["node"]: r["component"]
+        for r in DD.connected_components_alternating(pairs).collect()
+    }
+    assert alt == hm
+
+
+def test_cc_alternating_long_chain_few_rounds(spark):
+    # a 40-hop chain: hash-min needs 40 rounds; alternating must converge
+    # well inside max_iter=12 (O(log n))
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(500, 540)], "doc1 bigint, doc2 bigint"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in DD.connected_components_alternating(pairs, max_iter=12).collect()
+    }
+    assert set(got.values()) == {500} and len(got) == 41
