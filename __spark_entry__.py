@@ -1959,7 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_docs": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,
-                     substring(md5(CAST(doc_id AS VARCHAR) || ':r3'), 1, 8) AS b
+                     substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '') || ':r3'), 1, 8) AS b
               FROM documents
             )
             WHERE CASE source
@@ -1974,7 +1974,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, source,
                      ROW_NUMBER() OVER (
                        PARTITION BY source
-                       ORDER BY substring(md5(CAST(doc_id AS VARCHAR) || ':r3'), 1, 8),
+                       ORDER BY substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '') || ':r3'), 1, 8),
                                 doc_id
                      ) AS rn
               FROM documents

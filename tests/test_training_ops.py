@@ -521,3 +521,17 @@ def test_cc_alternating_long_chain_few_rounds(spark):
         for r in DD.connected_components_alternating(pairs, max_iter=12).collect()
     }
     assert set(got.values()) == {500} and len(got) == 41
+
+
+def test_hash_sample_null_keys_consistent(spark):
+    # NULL keys hash as '' — sampled like any other row, never silently
+    # dropped at fraction<1.0 while kept at 1.0
+    import hashlib
+
+    from valor_spark.operators import sampling as SP
+
+    df = spark.createDataFrame([(None,), (1,), (2,)], "id bigint")
+    assert SP.hash_sample(df, 1.0, "id").count() == 3
+    kept = {r["id"] for r in SP.hash_sample(df, 0.5, "id", seed="z").collect()}
+    null_kept = hashlib.md5(b":z").hexdigest()[:8] < format(int(0.5 * 16**8), "08x")
+    assert (None in kept) == null_kept

@@ -40,9 +40,15 @@ def _threshold_hex(fraction: float) -> str:
 def sample_bucket(key: Column, seed: str = "") -> Column:
     """The deterministic per-row sampling bucket: first 8 hex chars of
     ``md5(key || ':' || seed)``.  Exposed so oracles/tests can reproduce
-    the decision."""
+    the decision.  A NULL key hashes as the empty string — without the
+    coalesce, ``concat`` propagates NULL and the comparison silently drops
+    NULL-key rows at every fraction below 1.0 while ``fraction=1.0``
+    (a plain ``lit(True)``) keeps them: an inconsistent, easy-to-miss
+    filter.  Oracles replicate with ``COALESCE(CAST(k AS VARCHAR), '')``."""
     return F.substring(
-        F.md5(F.concat(key.cast("string"), F.lit(":" + seed))), 1, _HEX_BITS
+        F.md5(F.concat(F.coalesce(key.cast("string"), F.lit("")), F.lit(":" + seed))),
+        1,
+        _HEX_BITS,
     )
 
 

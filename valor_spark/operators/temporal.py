@@ -56,6 +56,11 @@ def asof_join(
     When several right rows share the same (key, timestamp) the carried row
     is the last in (timestamp, payload-struct) order — deterministic, but
     callers should de-dup right on (key, ts) if that order is not meaningful.
+
+    NULL keys: the window formulation groups NULL keys TOGETHER (a NULL-key
+    left row can match a NULL-key right row), whereas a SQL equality-join
+    formulation (incl. DuckDB ASOF ``ON l.k = r.k``) never matches NULLs —
+    filter NULL keys out beforehand if SQL semantics are required.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
