@@ -1005,6 +1005,13 @@ def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative bigram-rarity quality stats (rare/hapax-ngram
+    filtering signal) — all-integer outputs; ratios are a JVM projection
+    (operators/text.py::bigram_rarity)."""
+    return TX.bigram_rarity(_t(spark, sf_dir, "documents"))
+
+
 def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py): per-source
     keep fractions compiled to ONE shuffle-free filter; the md5-bucket
@@ -1166,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "dedup_pipeline": q_dedup_pipeline,
+        "bigram_rarity": q_bigram_rarity,
         "stratified_docs": q_stratified_docs,
         "balanced_docs": q_balanced_docs,
         "asof_events": q_asof_events,
@@ -1732,6 +1740,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, n,
                    ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rank
             FROM counts QUALIFY rank <= 20
+        """,
+        "bigram_rarity": f"""
+            WITH toks AS (
+              SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])
+                END)) AS bg
+              FROM toks
+            ),
+            dfreq AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY bg),
+            stats AS (
+              SELECT b.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+                     CAST(SUM(df) AS BIGINT) AS sum_df
+              FROM bg b JOIN dfreq USING (bg) GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_bigrams, 0) AS n_bigrams,
+                   COALESCE(n_common, 0) AS n_common,
+                   COALESCE(sum_df, 0) AS sum_df
+            FROM documents d LEFT JOIN stats ON stats.doc_id = d.doc_id
         """,
         "embedding_near_dup": f"""
             WITH corpus AS (

@@ -535,3 +535,23 @@ def test_hash_sample_null_keys_consistent(spark):
     kept = {r["id"] for r in SP.hash_sample(df, 0.5, "id", seed="z").collect()}
     null_kept = hashlib.md5(b":z").hexdigest()[:8] < format(int(0.5 * 16**8), "08x")
     assert (None in kept) == null_kept
+
+
+def test_bigram_rarity_hand_computed(spark):
+    # doc 0 and 1 share 'a b'; doc 0's 'b c' is hapax; doc 2 has one token
+    # (no bigrams); doc 3 is null
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "solo"), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: (r["n_bigrams"], r["n_common"], r["sum_df"])
+           for r in TX.bigram_rarity(df).collect()}
+    # doc 0: bigrams {a b (df 2), b c (df 1)} -> n=2, common=1, sum=3
+    assert got[0] == (2, 1, 3)
+    assert got[1] == (1, 1, 2)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (0, 0, 0)
+    der = {r["doc_id"]: (r["common_ratio"], r["avg_df"])
+           for r in TX.bigram_rarity_derived(TX.bigram_rarity(df)).collect()}
+    assert der[0] == (0.5, 1.5)
+    assert der[2] == (None, None)

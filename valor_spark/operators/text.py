@@ -200,3 +200,62 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         _quality_score_t(toks, text).alias("quality"),
         fingerprint(text).alias("fingerprint"),
     )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+) -> DataFrame:
+    """CORPUS-RELATIVE quality stats per document — the cross-document
+    signal (rare/hapax n-gram filtering) that per-doc profiles can't see:
+    for every distinct bigram of a doc, its document frequency across the
+    corpus, aggregated to ``(id, n_bigrams, n_common, sum_df)`` where
+    ``n_common`` counts bigrams appearing in >= ``min_df`` docs.  A doc
+    whose bigrams appear nowhere else is likely junk (OCR noise, boilerplate
+    mangling); one whose bigrams are all corpus-common is likely template
+    spam — both tails are filterable from these integers, and ratios
+    (:func:`bigram_rarity_derived`) stay JVM-side so the stats are
+    engine-exact.
+
+    Scale: distinct-bigram explode -> doc-frequency hash-agg on the bigram
+    key -> join back on bigram -> per-doc sums; shuffles are on bigram/id
+    keys only, never raw text, and every aggregate is map-side partial.
+    Docs with fewer than 2 tokens emit (id, 0, 0, 0)."""
+    b = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(bigrams(F.col(text_col)))).alias("bg"),
+    )
+    dfreq = b.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
+    stats = (
+        b.join(dfreq, on="bg")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("df") >= min_df).cast("int")).cast("bigint").alias("n_common"),
+            F.sum("df").cast("bigint").alias("sum_df"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(stats, on="doc", how="left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+            F.coalesce("sum_df", F.lit(0)).cast("bigint").alias("sum_df"),
+        )
+    )
+
+
+def bigram_rarity_derived(stats: DataFrame) -> DataFrame:
+    """JVM-side ratios over the integer rarity stats: common_ratio (share
+    of bigrams seen in >= min_df docs) and avg_df (mean corpus document
+    frequency of the doc's bigrams)."""
+    n = F.col("n_bigrams")
+    return stats.select(
+        "*",
+        F.when(n > 0, F.col("n_common") / n).alias("common_ratio"),
+        F.when(n > 0, F.col("sum_df") / n).alias("avg_df"),
+    )
