@@ -1012,6 +1012,19 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.bigram_rarity(_t(spark, sf_dir, "documents"))
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram contamination check (operators/text.py::
+    ngram_contamination): a synthetic 'benchmark' of docs 100-109 with the
+    leading token dropped must collide with their source docs on >= 2
+    distinct 5-gram shingles; the join shuffles 16-hex md5 prefixes, not
+    shingle strings."""
+    docs = _t(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id").between(100, 109)).select(
+        "doc_id", F.expr("substring(text, instr(text, ' ') + 1)").alias("text")
+    )
+    return TX.ngram_contamination(docs, evalset, n=5, min_shared=2)
+
+
 def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (operators/sampling.py): per-source
     keep fractions compiled to ONE shuffle-free filter; the md5-bucket
@@ -1174,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "dedup_pipeline": q_dedup_pipeline,
         "bigram_rarity": q_bigram_rarity,
+        "contamination": q_contamination,
         "stratified_docs": q_stratified_docs,
         "balanced_docs": q_balanced_docs,
         "asof_events": q_asof_events,
@@ -1740,6 +1754,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, n,
                    ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rank
             FROM counts QUALIFY rank <= 20
+        """,
+        "contamination": f"""
+            WITH corpus AS (
+              SELECT doc_id, {_SQL_TOKENS.format(col='text')} AS t FROM documents
+            ),
+            ev AS (
+              SELECT doc_id AS eid,
+                     {_SQL_TOKENS.format(col="substring(text, instr(text, ' ') + 1)")} AS t
+              FROM documents WHERE doc_id BETWEEN 100 AND 109
+            ),
+            ca AS (
+              SELECT doc_id AS train_id, unnest(list_distinct(
+                CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(t) - 4),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                END)) AS s
+              FROM corpus
+            ),
+            cb AS (
+              SELECT eid, unnest(list_distinct(
+                CASE WHEN len(t) < 5 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(t) - 4),
+                                         i -> array_to_string(t[i:i+4], ' '))
+                END)) AS s
+              FROM ev
+            )
+            SELECT train_id, eid AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM (SELECT train_id, substring(md5(s), 1, 16) AS h FROM ca) a
+            JOIN (SELECT eid, substring(md5(s), 1, 16) AS h FROM cb) b USING (h)
+            GROUP BY train_id, eid HAVING COUNT(*) >= 2
         """,
         "bigram_rarity": f"""
             WITH toks AS (

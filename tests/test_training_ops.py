@@ -555,3 +555,30 @@ def test_bigram_rarity_hand_computed(spark):
            for r in TX.bigram_rarity_derived(TX.bigram_rarity(df)).collect()}
     assert der[0] == (0.5, 1.5)
     assert der[2] == (None, None)
+
+
+def test_ngram_contamination(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven"),
+            (1, "totally different words with zero overlap content"),
+            (2, "short doc"),                                   # < n tokens
+        ],
+        "doc_id bigint, text string",
+    )
+    evalset = spark.createDataFrame(
+        [
+            (100, "two three four five six extras appended"),   # 2 shared 5-grams... 
+            (101, "nothing in common at all whatsoever here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in TX.ngram_contamination(corpus, evalset, n=5, min_shared=1).collect()
+    }
+    # corpus 0 shingles: {1..5, 2..6, 3..7}; eval 100 shingles include
+    # 'two three four five six' -> exactly 1 shared
+    assert got == {(0, 100): 1}
+    strict = TX.ngram_contamination(corpus, evalset, n=5, min_shared=2).count()
+    assert strict == 0

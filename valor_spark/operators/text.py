@@ -259,3 +259,52 @@ def bigram_rarity_derived(stats: DataFrame) -> DataFrame:
         F.when(n > 0, F.col("n_common") / n).alias("common_ratio"),
         F.when(n > 0, F.col("sum_df") / n).alias("avg_df"),
     )
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Distinct n-token shingles as 'w1 w2 ... wn' strings; texts with
+    fewer than n tokens yield an empty array."""
+    toks = tokens(col)
+    cnt = F.coalesce(F.size(toks), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
+    return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        )
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    evalset: DataFrame,
+    n: int = 5,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval CONTAMINATION detection — the n-gram-collision check run
+    before training on web data: every (corpus doc, eval doc) pair sharing
+    >= ``min_shared`` distinct n-token shingles, with the shared count.
+    Returns ``(train_id, eval_id, n_shared)``.
+
+    Scale shape: both sides explode to distinct shingles keyed by a 16-hex
+    md5 prefix (the join/shuffle carries the short hash, not the n-token
+    string), equi-join on the hash, count per pair.  The eval side is
+    normally tiny (a benchmark suite) — AQE broadcasts it; the corpus side
+    streams.  Hash collisions over-count with probability ~2^-64 per pair
+    — acceptable for a screening report (the md5 prefix is also what makes
+    the decision engine-portable)."""
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(shingles(F.col(text_col), n)).alias("sh"),
+        ).select(out, F.substring(F.md5("sh"), 1, 16).alias("h"))
+
+    a = side(corpus, "train_id")
+    b = side(evalset, "eval_id")
+    return (
+        a.join(b, on="h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
