@@ -68,6 +68,9 @@ HEADLINE = [
     "interval_events",
     "knn_graph",
     "audio_segments",
+    "dedup_pipeline",
+    "bigram_rarity",
+    "contamination",
 ]
 
 
