@@ -819,6 +819,51 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AUDIO in the graded gate: the fixture clips stream through
+    profile_stream (audio_profile mapInArrow + quality rules per
+    micro-batch via foreachBatch); the collected integer profiles must
+    hash-match the SAME spec-derived oracle parquet as the batch
+    audio_profile query — stream execution, batch truth."""
+    import shutil
+    import tempfile
+
+    from valor_spark.sources.audio_fixture import build_audio_fixture
+    from valor_spark.streaming.validate_stream import profile_stream
+
+    paths = build_audio_fixture(FIXTURE_DIR)
+    # file streams need a DIRECTORY source: stage the fixture file into one
+    # (idempotent; the tag in the filename keys the staging dir too)
+    stem = os.path.splitext(os.path.basename(paths["clips"]))[0]
+    stream_dir = os.path.join(FIXTURE_DIR, f"stream_{stem}")
+    staged = os.path.join(stream_dir, "part-0.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(stream_dir, exist_ok=True)
+        shutil.copyfile(paths["clips"], staged)
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string"
+    )
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    collected: list = []
+
+    def on_batch(prof_df: DataFrame, vio_df: DataFrame, batch_id: int) -> None:
+        collected.extend(prof_df.collect())
+
+    ckpt = tempfile.mkdtemp(prefix="gate_audio_stream_ckpt_")
+    q = profile_stream(stream, on_batch, ckpt, trigger_once=True)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_audio_profile: StreamingQuery did not finish in 300s")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(
+        collected,
+        "clip_id string, n_samples int, peak_abs int, sum_sq bigint, "
+        "n_clipped int, n_silent int, lead_silence int, trail_silence int, "
+        "decode_error string",
+    )
+
+
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real image decode in the graded gate: BMP/PGM/PPM bytes decoded with
     numpy in the Arrow mapInPandas pass (true dims, intensity, block
@@ -1174,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_audio": q_val_audio,
         "audio_profile": q_audio_profile,
         "audio_segments": q_audio_segments,
+        "stream_audio_profile": q_stream_audio_profile,
         "lsh_buckets": q_lsh_buckets,
         "orders_by_month": q_orders_by_month,
         "cube_orders": q_cube_orders,
@@ -1728,6 +1774,9 @@ def oracle_sql() -> dict[str, str]:
         # Spark runs bytes -> decode -> stats over the same clips parquet
         "audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",
         "audio_segments": f"SELECT * FROM read_parquet('{audio_segments_expected}')",
+        # stream execution, batch truth: the same spec-derived profile
+        # parquet grades the streaming path
+        "stream_audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",
         # expected stats derived from the SOURCE pixel arrays (see
         # q_image_stats / sources/image_fixture.py); features serialized to
         # one %.4f-formatted string — lists are unhashable in the driver's
