@@ -131,6 +131,52 @@ def test_interval_join(spark):
     assert not any(i == 103 for _, i in got)
 
 
+def test_interval_join_fractional_second_hi_at_bucket_boundary(spark):
+    # regression (round-4 ADVICE): hi = 02:00:00.5 truncates to a bucket-
+    # boundary multiple; the old last-slot formula floor((trunc(hi)-1)/w)
+    # dropped the final slot, losing every point in [02:00:00, 02:00:00.5)
+    points = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 2, 0, 0, 200000)),   # inside [trunc(hi), hi)
+            (2, dt.datetime(2024, 1, 1, 2, 0, 0, 700000)),   # past hi -> excluded
+            (3, dt.datetime(2024, 1, 1, 1, 59, 59, 900000)),  # inside, prior slot
+        ],
+        "pid bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(9, dt.datetime(2024, 1, 1, 1, 0), dt.datetime(2024, 1, 1, 2, 0, 0, 500000))],
+        "iid bigint, lo timestamp, hi timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in TP.interval_join(points, intervals, bucket_width_s=3600).collect()
+    }
+    assert got == {(1, 9), (3, 9)}
+
+
+def test_asof_join_tolerance_subsecond_precision(spark):
+    # regression (round-4 ADVICE): a true 1800.9s gap must FAIL a 1800s
+    # tolerance — truncated-second math accepted it (1800 <= 1800)
+    trades = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 1, 30, 0, 900000), "t")],
+        "k bigint, ts timestamp, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 1, 0, 0), 5.0)],
+        "k bigint, ts timestamp, quote double",
+    )
+    out = {
+        r["trade"]: r["quote_right"]
+        for r in TP.asof_join(trades, quotes, on="k", tolerance_s=1800).collect()
+    }
+    assert out["t"] is None
+    loose = {
+        r["trade"]: r["quote_right"]
+        for r in TP.asof_join(trades, quotes, on="k", tolerance_s=1801).collect()
+    }
+    assert loose["t"] == 5.0
+
+
 def test_interval_join_no_duplicate_pairs(spark):
     # an interval spanning many buckets must still yield each pair once
     points = spark.createDataFrame([(1, _ts(5, 30))], "pid bigint, ts timestamp")

@@ -27,12 +27,21 @@ from pyspark.sql import functions as F
 
 
 def _epoch_s(c: Column) -> Column:
-    """Seconds since epoch, accepting TIMESTAMP and TIMESTAMP_NTZ alike
-    (Spark 4 refuses a direct NTZ->long cast).  NTZ values are interpreted
-    in the session time zone — set ``spark.sql.session.timeZone=UTC`` for
-    engine-portable arithmetic; only *differences* feed the operators here,
-    so a constant offset is harmless anyway."""
+    """Seconds since epoch (truncated), accepting TIMESTAMP and
+    TIMESTAMP_NTZ alike (Spark 4 refuses a direct NTZ->long cast).  NTZ
+    values are interpreted in the session time zone — set
+    ``spark.sql.session.timeZone=UTC`` for engine-portable arithmetic; only
+    *differences* feed the operators here, so a constant offset is harmless
+    anyway."""
     return c.cast("timestamp").cast("long")
+
+
+def _epoch_us(c: Column) -> Column:
+    """Microseconds since epoch — FULL precision.  Truncated-second
+    arithmetic silently widens tolerances / drops sub-second boundary
+    matches (a true 1800.9s gap passes a 1800s tolerance when both ends are
+    floored), so every comparison against user-supplied bounds uses this."""
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def asof_join(
@@ -91,9 +100,12 @@ def asof_join(
         F.col("__is_left") == 1
     )
     if tolerance_s is not None:
+        # full-precision microsecond delta: a truncated-second comparison
+        # accepts matches up to ~1s older than the stated tolerance when
+        # timestamps carry sub-second parts
         in_tol = (
-            _epoch_s(F.col("__t")) - _epoch_s(F.col("__m.__rts"))
-        ) <= F.lit(int(tolerance_s))
+            _epoch_us(F.col("__t")) - _epoch_us(F.col("__m.__rts"))
+        ) <= F.lit(int(tolerance_s) * 1_000_000)
         matched = matched.withColumn(
             "__m", F.when(in_tol, F.col("__m"))
         )
@@ -120,12 +132,20 @@ def interval_join(
     p = points.withColumn(
         "__slot", F.floor(_epoch_s(F.col(point_ts)) / wsec)
     )
+    # Last slot is floor(trunc(hi)/w) WITHOUT the tempting -1 "half-open"
+    # adjustment: with a fractional-second hi, points in [trunc(hi), hi)
+    # live in trunc(hi)'s slot, and -1 drops that slot entirely whenever
+    # trunc(hi) is a bucket-boundary multiple (e.g. point 02:00:00.2 inside
+    # an interval ending 02:00:00.5 at bucket=3600).  Monotonicity of
+    # second-truncation gives slot(lo) <= slot(p) <= slot(hi) for every
+    # contained point, and the exact containment filter below removes the
+    # at-most-one extra slot's false candidates for free.
     i = intervals.withColumn(
         "__slot",
         F.explode(
             F.sequence(
                 F.floor(_epoch_s(F.col(lo)) / wsec),
-                F.floor((_epoch_s(F.col(hi)) - 1) / wsec),
+                F.floor(_epoch_s(F.col(hi)) / wsec),
             )
         ),
     )
