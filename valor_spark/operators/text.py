@@ -143,10 +143,20 @@ def fingerprint(col: Column, length: int = 16) -> Column:
     return F.substring(F.md5(norm), 1, length)
 
 
-def bigrams(col: Column) -> Column:
-    """Adjacent token pairs as 'a b' strings (order-preserving).
-    SQL equivalent: list_transform over 1..len-1 with array indexing."""
-    toks = tokens(col)
+def bigrams_t(toks: Column) -> Column:
+    """Adjacent token pairs as 'a b' strings (order-preserving) over an
+    ALREADY-MATERIALIZED token array.  SQL equivalent: list_transform over
+    1..len-1 with array indexing.
+
+    Scale contract: ``toks`` must be a plain column reference (materialize
+    ``tokens(text)`` in a lower Project first).  Higher-order functions are
+    CodegenFallback (interpreted), so an inline ``tokens(text)`` expression
+    here re-runs the whole tokenizer TWICE PER ELEMENT inside the lambda —
+    O(tokens^2) per document, measured 9.71s vs 0.72s (13.5x) on the sf0.1
+    bigram explode, with the gap growing quadratically in document length.
+    Same reasoning as text_profile: CollapseProject keeps a
+    multiply-referenced non-trivial alias as its own projection, so the
+    lower Project is real, not cosmetic."""
     # coalesce: size(NULL)=NULL under ANSI, which would fall through the <2
     # guard and emit a [NULL, NULL] phantom bigram for every null document
     n = F.coalesce(F.size(toks), F.lit(0))
@@ -161,6 +171,14 @@ def bigrams(col: Column) -> Column:
     )
 
 
+def bigrams(col: Column) -> Column:
+    """Bigrams straight from a text column — convenience form for small
+    data/tests ONLY: the inline token expression is re-evaluated inside the
+    interpreted HOF lambda (O(tokens^2)/doc).  Hot paths materialize the
+    token array in a lower select and use :func:`bigrams_t`."""
+    return bigrams_t(tokens(col))
+
+
 def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
     """Corpus-level top-k bigrams by occurrence count (one explode + one
     aggregation; ties broken by bigram text for determinism).
@@ -172,7 +190,10 @@ def top_bigrams(df: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame
     corpus scale.  The rank window only ever sees the k surviving rows."""
     from pyspark.sql.window import Window
 
-    exploded = df.select(F.explode(bigrams(F.col(text_col))).alias("bigram"))
+    # tokenize ONCE in a lower projection (see bigrams_t scale contract)
+    exploded = df.select(tokens(F.col(text_col)).alias("__toks")).select(
+        F.explode(bigrams_t(F.col("__toks"))).alias("bigram")
+    )
     counts = exploded.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)
     w = Window.orderBy(F.col("n").desc(), F.col("bigram").asc())
@@ -224,8 +245,10 @@ def bigram_rarity(
     keys only, never raw text, and every aggregate is map-side partial.
     Docs with fewer than 2 tokens emit (id, 0, 0, 0)."""
     b = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(bigrams(F.col(text_col)))).alias("bg"),
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        "doc",
+        F.explode(F.array_distinct(bigrams_t(F.col("__toks")))).alias("bg"),
     )
     dfreq = b.groupBy("bg").agg(F.count(F.lit(1)).alias("df"))
     stats = (
@@ -261,10 +284,12 @@ def bigram_rarity_derived(stats: DataFrame) -> DataFrame:
     )
 
 
-def shingles(col: Column, n: int = 5) -> Column:
-    """Distinct n-token shingles as 'w1 w2 ... wn' strings; texts with
-    fewer than n tokens yield an empty array."""
-    toks = tokens(col)
+def shingles_t(toks: Column, n: int = 5) -> Column:
+    """Distinct n-token shingles as 'w1 w2 ... wn' strings over an
+    ALREADY-MATERIALIZED token array; fewer than n tokens yields an empty
+    array.  Same scale contract as :func:`bigrams_t` — an inline token
+    expression re-tokenizes per element inside the interpreted HOF lambda
+    (O(tokens^2)/doc)."""
     cnt = F.coalesce(F.size(toks), F.lit(0))
     idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
     return F.when(cnt < n, F.array().cast("array<string>")).otherwise(
@@ -272,6 +297,13 @@ def shingles(col: Column, n: int = 5) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
         )
     )
+
+
+def shingles(col: Column, n: int = 5) -> Column:
+    """Shingles straight from a text column — small-data/test convenience
+    only; hot paths materialize tokens in a lower select and use
+    :func:`shingles_t`."""
+    return shingles_t(tokens(col), n)
 
 
 def ngram_contamination(
@@ -295,10 +327,13 @@ def ngram_contamination(
     — acceptable for a screening report (the md5 prefix is also what makes
     the decision engine-portable)."""
     def side(df: DataFrame, out: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out),
-            F.explode(shingles(F.col(text_col), n)).alias("sh"),
-        ).select(out, F.substring(F.md5("sh"), 1, 16).alias("h"))
+        return (
+            df.select(
+                F.col(id_col).alias(out), tokens(F.col(text_col)).alias("__toks")
+            )
+            .select(out, F.explode(shingles_t(F.col("__toks"), n)).alias("sh"))
+            .select(out, F.substring(F.md5("sh"), 1, 16).alias("h"))
+        )
 
     a = side(corpus, "train_id")
     b = side(evalset, "eval_id")
