@@ -971,6 +971,34 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clusters as q_dup_clusters but via ALTERNATING large-star/
+    small-star edge rewriting (dedup.py::connected_components_alternating,
+    Kiveris et al. SoCC'14) — the O(log n)-round variant for adversarial
+    component diameters.  Sharing q_dup_clusters' oracle (the recursive
+    transitive-closure CTE) makes the driver gate assert both CC algorithms
+    produce IDENTICAL components on the same pair set, complementing the
+    1M-edge cross-validation in BENCH/BASELINE.md."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    near = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    pairs = DD.simhash_pairs(d.unionByName(near), bits=32, max_hamming=3, bands=4)
+    cc = DD.connected_components_alternating(pairs)
+    return cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+        ).alias("members"),
+    )
+
+
 def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join in the graded gate (operators/temporal.py::asof_join):
     each purchase picks the user's latest signup at-or-before it via the
@@ -1183,7 +1211,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registration order is LOAD-BEARING: the driver grades the first 50
+    dict entries only.  Round 3 registered 57 queries and the tail 7
+    (sampling, temporal joins, LSH top-k, knn graph, frame sampling) never
+    received a CORRECTNESS row despite passing the dtype-strict local
+    selfcheck.  Round 4 rotates: those 7 plus the new dup_clusters_alt move
+    into the graded window, and 8 long-stable demo/variant rows — every one
+    driver-graded GREEN in CORRECTNESS_r03 (and most since r01) — rotate to
+    the ungraded tail: cube_orders, token_modes, simhash_pairs,
+    cosine_topk_ivf, val_string_payload, events_json, value_histogram,
+    orders_by_month.  Across rounds every operator therefore has an
+    authoritative green driver row; the local selfcheck still verifies all
+    58 each run."""
     return {
+        # ---- graded window (first 50) -----------------------------------
         "val_orders": q_val_orders,
         "val_lineitem_acc": q_val_lineitem_acc,
         "val_clips": q_val_clips,
@@ -1199,37 +1240,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_acctbal": q_region_acctbal,
         "psi_event_types": q_psi_event_types,
         "ks_value_drift": q_ks_value_drift,
-        "value_histogram": q_value_histogram,
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
         "token_stats_by_source": q_token_stats_by_source,
         "simhash_docs": q_simhash_docs,
-        "token_modes": q_token_modes,
         "redact_docs": q_redact_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cosine_topk": q_cosine_topk,
-        "cosine_topk_ivf": q_cosine_topk_ivf,
-        "events_json": q_events_json,
         "except_all": q_except_all,
         "rollup_orders": q_rollup_orders,
         "val_acc_poke": q_val_acc_poke,
         "val_combinators": q_val_combinators,
-        "val_string_payload": q_val_string_payload,
         "stream_validate": q_stream_validate,
         "val_audio": q_val_audio,
         "audio_profile": q_audio_profile,
         "audio_segments": q_audio_segments,
         "stream_audio_profile": q_stream_audio_profile,
         "lsh_buckets": q_lsh_buckets,
-        "orders_by_month": q_orders_by_month,
-        "cube_orders": q_cube_orders,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_near_dup": q_embedding_near_dup,
         "top_bigrams": q_top_bigrams,
         "image_stats": q_image_stats,
         "val_applications": q_val_applications,
         "val_props_map": q_val_props_map,
-        "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "dedup_pipeline": q_dedup_pipeline,
         "bigram_rarity": q_bigram_rarity,
@@ -1241,6 +1274,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "knn_graph": q_knn_graph,
         "frame_sample": q_frame_sample,
+        "dup_clusters_alt": q_dup_clusters_alt,
+        # ---- rotated tail (graded green in CORRECTNESS_r03) -------------
+        "cube_orders": q_cube_orders,
+        "token_modes": q_token_modes,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
+        "val_string_payload": q_val_string_payload,
+        "events_json": q_events_json,
+        "value_histogram": q_value_histogram,
+        "orders_by_month": q_orders_by_month,
     }
 
 
@@ -2079,6 +2122,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": _sql_simhash_pairs(32, 3, 4),
         "dup_clusters": _sql_dup_clusters(),
+        # alternating large-star/small-star CC must produce IDENTICAL
+        # components to hash-min — one oracle adjudicates both algorithms
+        "dup_clusters_alt": _sql_dup_clusters(),
         "dedup_pipeline": _sql_dedup_pipeline(),
         # md5-hex buckets compare lexicographically like the numbers they
         # encode; thresholds are int(f * 16^8) in hex (0.5 -> 80000000,
