@@ -210,9 +210,15 @@ def run_pipeline_bench(spark, n: int = None, samples: int = None,
     import tempfile
 
     warm_python_workers(spark)
-    trials = 1 if checkpoint else 2
+    # best-of-2 in EVERY mode: same-config session variance on this shared
+    # box measured 0.57-0.95x (BENCH/BASELINE.md), and the round-3 driver
+    # artifact recorded a 3.2x pipeline "regression" that a controlled
+    # re-run showed was machine state — two trials + per-stage walls make
+    # cross-round swings attributable from the artifact alone
     wall = None
-    for trial in range(trials):
+    best = None
+    trial_walls = []
+    for trial in range(2):
         ckpt = tempfile.mkdtemp(prefix="valor_bench_ckpt_") if checkpoint else None
         t0 = time.time()
         rep = run_pipeline(spark, clips, ref, baseline, checkpoint_dir=ckpt)
@@ -221,9 +227,15 @@ def run_pipeline_bench(spark, n: int = None, samples: int = None,
         n_vio = rep.violations.count()
         rep.shard_verdicts.count()
         w = time.time() - t0
+        trial_walls.append(round(w, 3))
         # steady-state: keep the best trial (first touch pays page-cache
         # population; the protocol measures validation throughput)
-        wall = w if wall is None else min(wall, w)
+        if wall is None or w < wall:
+            wall = w
+            best = {
+                "violations": n_vio,
+                "stage_sec": {k: round(v, 2) for k, v in rep.stage_wall_s.items()},
+            }
         if not checkpoint:
             rep.violations.unpersist()
         rep.release()  # drop the per-run cached fingerprint frame
@@ -231,10 +243,11 @@ def run_pipeline_bench(spark, n: int = None, samples: int = None,
             shutil.rmtree(ckpt, ignore_errors=True)
     return {
         "clips": n,
-        "violations": n_vio,
+        "violations": best["violations"],
         "pipeline_sec": round(wall, 3),
+        "pipeline_trials_sec": trial_walls,
         "clips_per_sec": round(n / wall, 1),
-        "stage_sec": {k: round(v, 2) for k, v in rep.stage_wall_s.items()},
+        "stage_sec": best["stage_sec"],
     }
 
 
@@ -411,6 +424,8 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "| LSH planes: full shader-noise hash fract(sin(p*a+d*b)*43758.5453) instead of bare sin(p*a+d*b) (round 3) | bare-sin plane normals all lie in ONE 2-D subspace (span of sin(d*b), cos(d*b)) -> n planes give at most 2n buckets: measured exactly 20 distinct at n_planes=10; after the fix 1020 distinct (avg 19.6 vecs/bucket), knn_graph N=20k wall 14.6 -> 2.9 s warm (5x) and candidate volume shrinks ~50x at scale; recall now actually follows ((pi-theta)/pi)^planes as designed |",
         "| connected_components at 1M edges / 1.5M nodes (round 3) | random graph (~19 rounds): 48 s -> 500k components; +100 planted 49-hop chains (diameter stress, ~50 rounds): 108 s — round count = component diameter is the known hash-min bound, each round one shuffle join + min-agg with localCheckpoint lineage truncation; near-dup graphs (band-bounded near-cliques, diameter 2-3) converge in 2-4 rounds, and large-star/small-star is the documented O(log n) upgrade for adversarial diameters |",
         "| connected_components_alternating: large-star/small-star edge rewriting (Kiveris et al. SoCC'14) as the adversarial-diameter variant (round 3) | same 1M-edge + 49-hop-chain graph: 33 s / ~7 rounds vs hash-min's 108 s / ~50 rounds, with IDENTICAL output (1,504,999 nodes, 500,099 components — a scale cross-validation of both algorithms); hash-min stays the default for dedup graphs (diameter 2-3) where its cheaper rounds win |",
+        "| shard-clustered checkpoint writes (round 4): write_violations repartitions on the partition column before partitionBy, so each shard's rows land in ONE task -> one file per shard dir | gate-shaped violations (3.7k rows, 64 shards, written from 32 tasks): 1,718 files -> 64 files (27x) AND write wall 8.35 -> 1.36 s; removes most of the ~1s audio-stage overhead the shard-granular resume added in round 3, and at 100 TB / O(10^5) shards avoids a small-file storm on the manifest store |",
+        "| negative-shard intake guard folded into the fingerprint aggregate (round 4): the guard probes the persisted 1-row-per-shard frame (new raw_min column distinguishes real negatives from NULL->UNSHARDED coalescing) instead of its own full scan of the shard column | one fewer Spark job per run_pipeline call; guard semantics unchanged (real negative raises, NULL-shard rows stay tolerated+revalidated — pytest intake tests green) |",
         "| tokenize-once bigrams_t/shingles_t (round 4): token array materialized in a lower Project at every call site (top_bigrams, bigram_rarity, ngram_contamination) instead of inline inside the HOF lambda — HOFs are CodegenFallback (interpreted), so the inline form re-ran the tokenizer twice per bigram element, O(tokens^2)/doc | sf0.1 bigram explode+count: 9.71 -> 0.71 s (13.5x); optimized plan now contains exactly ONE split() tokenizer; gap grows quadratically with document length, so this was a scale-killer on multi-kilotoken web docs; oracle hashes unchanged (top_bigrams, bigram_rarity, contamination green) |",
         "",
         "Run-to-run variance on this shared sandbox is substantial (same",
@@ -458,6 +473,11 @@ def main() -> None:
                 "clips": pipe["clips"],
                 "clips_per_sec": pipe["clips_per_sec"],
                 "violations": pipe["violations"],
+                # per-stage walls + both trial walls of the clips pipeline:
+                # cross-round swings must be attributable from the artifact
+                # (round-3 lesson — a 3.2x artifact swing was machine state)
+                "clips_stage_sec": pipe["stage_sec"],
+                "clips_trials_sec": pipe["pipeline_trials_sec"],
             }
         )
     )
