@@ -33,6 +33,7 @@ import time
 from dataclasses import asdict, dataclass, field as dc_field
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 GLOBAL_SHARD = -1
 
@@ -133,8 +134,20 @@ class RunManifest:
         empty partition.  Global stages overwrite the whole stage directory."""
         path = self.violations_path(stage)
         if partition_by:
+            # hash-cluster on the partition column first: without this,
+            # every write task holding rows of a shard emits its own file
+            # into that shard's directory (up to #tasks files per shard —
+            # measured 32x file inflation at local[32]); clustered, each
+            # shard's rows land in one task -> ONE file per shard dir.
+            # Violations are tiny relative to the input, so this extra
+            # small shuffle is noise, while at 100 TB / O(10^5) shards the
+            # unclustered layout is a small-file storm on the manifest
+            # store (and a per-file open cost on every resume read-back).
+            clustered = df.repartition(F.col(partition_by))
             if replace_shards is None:
-                df.write.partitionBy(partition_by).mode("overwrite").parquet(path)
+                clustered.write.partitionBy(partition_by).mode(
+                    "overwrite"
+                ).parquet(path)
             else:
                 import shutil
 
@@ -142,7 +155,7 @@ class RunManifest:
                     shutil.rmtree(
                         os.path.join(path, f"{partition_by}={s}"), ignore_errors=True
                     )
-                df.write.partitionBy(partition_by).mode("append").parquet(path)
+                clustered.write.partitionBy(partition_by).mode("append").parquet(path)
         else:
             df.write.mode("overwrite").parquet(path)
 

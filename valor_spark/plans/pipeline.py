@@ -140,9 +140,17 @@ def shard_fingerprint_frame(
             fp_cols.append(F.col("bytes"))
         else:
             fp_cols.append(F.coalesce(F.length("bytes"), F.lit(-1)))
+    # raw_min rides the same aggregate for free and lets the intake guard
+    # distinguish a REAL negative shard value from the NULL->UNSHARDED(-2)
+    # coalescing above: min() skips NULLs, so a group whose rows were all
+    # NULL-shard has raw_min NULL while any genuine negative value surfaces.
+    raw_shard = (
+        F.col("shard").cast("int") if has_shard else F.lit(0).cast("int")
+    )
     return clips.groupBy(shard_col.alias("shard")).agg(
         F.count(F.lit(1)).alias("rows"),
         F.bit_xor(F.xxhash64(*fp_cols)).alias("fingerprint"),
+        F.min(raw_shard).alias("raw_min"),
     )
 
 
@@ -235,25 +243,34 @@ def run_pipeline(
     vio_frames: list[DataFrame] = []
 
     has_shard = "shard" in clips.columns
-    # Negative shard values would collide with the GLOBAL (-1) / UNSHARDED
-    # (-2) sentinels — a real shard=-1's violations would merge into the
-    # global verdict row and resume keys would alias.  Fail fast at intake:
-    # a single pruned scan of the shard column with a pushed `< 0` filter
-    # and limit(1) early-out (row-group min/max stats skip clean files).
-    if has_shard:
-        neg = clips.filter(F.col("shard") < 0).select("shard").limit(1).collect()
-        if neg:
-            raise ValueError(
-                f"run_pipeline: shard values must be non-negative (found "
-                f"{neg[0]['shard']}); negative values are reserved for the "
-                f"GLOBAL ({GLOBAL_SHARD}) and UNSHARDED ({UNSHARDED}) sentinels"
-            )
     # persist: this 1-row-per-shard aggregate is consumed up to three times
     # (resume decisions, verdict assembly, row totals) — without the cache
     # each use re-scans the input's metadata columns
     shards_fp = shard_fingerprint_frame(clips, fingerprint_payload).persist()
     report._persisted = shards_fp
     shard_col = _shard_col(has_shard)
+    # Negative shard values would collide with the GLOBAL (-1) / UNSHARDED
+    # (-2) sentinels — a real shard=-1's violations would merge into the
+    # global verdict row and resume keys would alias.  Fail fast at intake,
+    # riding the fingerprint aggregate the run needs anyway: the probe
+    # materializes the persisted 1-row-per-shard frame (every later consumer
+    # hits the cache), so the guard costs zero extra input scans — it used
+    # to be its own full pass over the shard column.
+    if has_shard:
+        # raw_min is NULL for the NULL-shard (tolerated, revalidated) group;
+        # any non-NULL negative means a genuine negative shard value
+        neg = (
+            shards_fp.filter(F.col("raw_min") < 0)
+            .select("raw_min")
+            .limit(1)
+            .collect()
+        )
+        if neg:
+            raise ValueError(
+                f"run_pipeline: shard values must be non-negative (found "
+                f"{neg[0]['raw_min']}); negative values are reserved for the "
+                f"GLOBAL ({GLOBAL_SHARD}) and UNSHARDED ({UNSHARDED}) sentinels"
+            )
 
     # Reference-table fingerprint: the constraints (referential) and audio
     # stages consume clips_ref, so their resume validity must cover it —
