@@ -297,13 +297,35 @@ def cosine_topk_lsh(
     )
 
 
+def auto_n_planes(
+    n_vectors: int, target_bucket: int = 32, max_planes: int = 24
+) -> int:
+    """Plane count that holds the EXPECTED bucket size ~``target_bucket``
+    as the corpus grows: ``2^planes ≈ n_vectors / target_bucket``.
+
+    This is the documented 100x-scale lever for :func:`knn_graph` made
+    executable: candidate volume per table is ``N * E[bucket size]``, so a
+    FIXED plane count degrades quadratically with N while a log2-scaled one
+    keeps per-bucket work constant.  ``target_bucket`` trades recall
+    (bigger buckets -> more candidates -> better recall) against cost;
+    ``max_planes`` caps signature width (24 planes = 16M buckets — beyond
+    that bucket ids outgrow useful occupancy at any realistic N and recall
+    collapses, add tables instead)."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 1
+    return max(1, min(max_planes, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
 def knn_graph(
     embeddings: DataFrame,
     k: int = 3,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate k-NN GRAPH: every corpus vector gets its top-k
     bucket-sharing neighbors — the backbone of embedding-based curation
@@ -322,7 +344,17 @@ def knn_graph(
     interpreted — so each avoided traversal counts); the score keeps the
     exact ``dot/(na*nb)`` expression shape, so results stay bit-identical
     to the per-pair formulation and the oracle.
+
+    ``n_planes=None`` auto-scales the signature width to the corpus size
+    via :func:`auto_n_planes` (one count() over the id column — a
+    metadata-only columnar scan — then ``ceil(log2(N / target_bucket))``
+    planes), keeping expected bucket size ~``target_bucket`` at any N
+    instead of letting candidate volume grow quadratically.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(
+            embeddings.select(id_col).count(), target_bucket=target_bucket
+        )
     base = embeddings.select(
         F.col(id_col).alias("id"), _f64(F.col(vec_col)).alias("v")
     ).withColumn("n", norm(F.col("v")))
