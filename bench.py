@@ -424,6 +424,7 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "| LSH planes: full shader-noise hash fract(sin(p*a+d*b)*43758.5453) instead of bare sin(p*a+d*b) (round 3) | bare-sin plane normals all lie in ONE 2-D subspace (span of sin(d*b), cos(d*b)) -> n planes give at most 2n buckets: measured exactly 20 distinct at n_planes=10; after the fix 1020 distinct (avg 19.6 vecs/bucket), knn_graph N=20k wall 14.6 -> 2.9 s warm (5x) and candidate volume shrinks ~50x at scale; recall now actually follows ((pi-theta)/pi)^planes as designed |",
         "| connected_components at 1M edges / 1.5M nodes (round 3) | random graph (~19 rounds): 48 s -> 500k components; +100 planted 49-hop chains (diameter stress, ~50 rounds): 108 s — round count = component diameter is the known hash-min bound, each round one shuffle join + min-agg with localCheckpoint lineage truncation; near-dup graphs (band-bounded near-cliques, diameter 2-3) converge in 2-4 rounds, and large-star/small-star is the documented O(log n) upgrade for adversarial diameters |",
         "| connected_components_alternating: large-star/small-star edge rewriting (Kiveris et al. SoCC'14) as the adversarial-diameter variant (round 3) | same 1M-edge + 49-hop-chain graph: 33 s / ~7 rounds vs hash-min's 108 s / ~50 rounds, with IDENTICAL output (1,504,999 nodes, 500,099 components — a scale cross-validation of both algorithms); hash-min stays the default for dedup graphs (diameter 2-3) where its cheaper rounds win |",
+        "| knn_graph auto plane scaling (round 4): n_planes=None derives ceil(log2(N/target_bucket)) planes from one id-column count, holding E[bucket size] ~32 at any corpus size | synthetic d=32 corpora: N=20k -> 10 planes, 1,020 buckets, avg occupancy 19.6, 0.72M candidates/table, 7.6 s; N=100k -> 12 planes, 4,053 buckets, occupancy 24.7, 5.5M candidates/table, 12.9-15.5 s — occupancy stays ~constant across 5x N; A/B at N=100k vs the fixed-8-plane gate default: 61.0 s -> 15.5 s (3.9x), graph identical within 4 rows (4 vectors found no bucket-mate at the narrower bucket width — the standard recall/cost trade, recoverable by adding tables) |",
         "| shard-clustered checkpoint writes (round 4): write_violations repartitions on the partition column before partitionBy, so each shard's rows land in ONE task -> one file per shard dir | gate-shaped violations (3.7k rows, 64 shards, written from 32 tasks): 1,718 files -> 64 files (27x) AND write wall 8.35 -> 1.36 s; removes most of the ~1s audio-stage overhead the shard-granular resume added in round 3, and at 100 TB / O(10^5) shards avoids a small-file storm on the manifest store |",
         "| negative-shard intake guard folded into the fingerprint aggregate (round 4): the guard probes the persisted 1-row-per-shard frame (new raw_min column distinguishes real negatives from NULL->UNSHARDED coalescing) instead of its own full scan of the shard column | one fewer Spark job per run_pipeline call; guard semantics unchanged (real negative raises, NULL-shard rows stay tolerated+revalidated — pytest intake tests green) |",
         "| tokenize-once bigrams_t/shingles_t (round 4): token array materialized in a lower Project at every call site (top_bigrams, bigram_rarity, ngram_contamination) instead of inline inside the HOF lambda — HOFs are CodegenFallback (interpreted), so the inline form re-ran the tokenizer twice per bigram element, O(tokens^2)/doc | sf0.1 bigram explode+count: 9.71 -> 0.71 s (13.5x); optimized plan now contains exactly ONE split() tokenizer; gap grows quadratically with document length, so this was a scale-killer on multi-kilotoken web docs; oracle hashes unchanged (top_bigrams, bigram_rarity, contamination green) |",
