@@ -490,6 +490,23 @@ def test_knn_graph_recall_and_determinism(emb):
     assert got == got2
 
 
+def test_knn_graph_auto_planes(emb):
+    # n_planes=None derives the width from the corpus size: occupancy-
+    # targeted log2 scaling, clamped to [1, max_planes]
+    assert SIM.auto_n_planes(10) == 1            # tiny corpus -> 1 plane
+    assert SIM.auto_n_planes(20000) == 10        # ceil(log2(20000/32))
+    assert SIM.auto_n_planes(100000) == 12
+    assert SIM.auto_n_planes(10**12) == 24       # capped
+    assert SIM.auto_n_planes(4096, target_bucket=64) == 6
+    # the auto path produces a full valid graph (every vector in some pair
+    # on this small fixture where auto resolves to very few planes)
+    g = SIM.knn_graph(emb, k=1, n_planes=None, n_tables=2)
+    rows = g.collect()
+    assert rows and all(r["rank"] == 1 for r in rows)
+    got = {r["src_id"]: r["nbr_id"] for r in rows}
+    assert got[0] == 1 and got[1] == 0           # planted near-dup still pairs
+
+
 def test_cc_alternating_matches_hashmin(spark):
     # chain + cycle + pair + random blob: both algorithms must agree exactly
     import random
