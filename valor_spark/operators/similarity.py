@@ -234,17 +234,25 @@ def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 3,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 32,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing an LSH bucket with the
     query (in ANY of ``n_tables`` independent plane families) are scored.
     Multiple tables are the standard recall fix for boundary flips — a
     near-identical pair split by one table's near-zero projection is joined
     by another table.  Each table's join is on its bucket key; candidates
-    dedupe before scoring, so cost ~ n_tables * N/2^n_planes per query."""
+    dedupe before scoring, so cost ~ n_tables * N/2^n_planes per query.
+    ``n_planes=None`` auto-scales the signature width to the CORPUS size
+    (same :func:`auto_n_planes` lever as :func:`knn_graph` — per-query
+    candidate volume stays ~``target_bucket`` per table at any N)."""
+    if n_planes is None:
+        n_planes = auto_n_planes(
+            embeddings.select(id_col).count(), target_bucket=target_bucket
+        )
 
     def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
         return df.select(
