@@ -71,6 +71,11 @@ HEADLINE = [
     "dedup_pipeline",
     "bigram_rarity",
     "contamination",
+    # round-4 additions (same caveat: totals widen again)
+    "winnow_docs",
+    "winnow_pairs",
+    "val_speech_rate",
+    "audio_spectrum",
 ]
 
 

@@ -279,3 +279,50 @@ def test_audio_segments_hand_computed(spark):
     assert sorted(got["A"]) == [(0, 0, 6), (1, 26, 34)]
     assert sorted(got["B"]) == [(0, 0, 20)]       # bridged across short gap
     assert "C" not in got and "D" not in got and "BAD" not in got
+
+
+def test_spectral_ints_unit():
+    sr, m = 8000, 1024
+    t = np.arange(m)
+    # pure 500 Hz tone: bin 64 exactly (500/8000*1024), negligible leakage
+    pure = (10000 * np.sin(2 * np.pi * 500 * t / sr)).astype("<i2")
+    n, dom, hz, sec, imp = A.spectral_ints(pure, sr)
+    assert (n, dom, hz) == (m, 64, 500)
+    assert imp <= 5  # Hann leakage floor is ~0 outside the main lobe
+
+    # add a half-amplitude 2000 Hz tone: second peak at bin 256, ~500/1000
+    mixed = (
+        10000 * np.sin(2 * np.pi * 500 * t / sr)
+        + 5000 * np.sin(2 * np.pi * 2000 * t / sr)
+    ).astype("<i2")
+    n, dom, hz, sec, imp = A.spectral_ints(mixed, sr)
+    assert (dom, hz, sec) == (64, 500, 256)
+    assert 450 <= imp <= 550
+
+    # degenerate inputs
+    assert A.spectral_ints(np.zeros(0, "<i2"), sr) == (0, 0, 0, 0, 0)
+    assert A.spectral_ints(np.zeros(4, "<i2"), sr) == (4, 0, 0, 0, 0)
+    assert A.spectral_ints(np.zeros(64, "<i2"), sr) == (64, 0, 0, 0, 0)
+    assert A.spectral_ints(pure, 0) == (m, 0, 0, 0, 0)
+
+
+def test_audio_spectrum_flags_corrupted_clips(spark):
+    """The planted second tone (0.1 amplitude vs 0.4) must raise
+    impurity_milli well above the pure clips' leakage floor wherever the
+    tone separation exceeds the exclusion lobe (low sample rates — at
+    sr=8000 and 256 capped samples a bin is 31.25 Hz, the planted tone
+    sits >= 5 bins away)."""
+    clips = S.clips(spark, n=N, n_shards=8, max_samples=MAX_SAMPLES)
+    out = A.audio_spectrum(clips).filter(
+        (F.col("decode_error").isNull()) & (F.col("n_samples") == 256)
+    )
+    got = {r["clip_id"]: r["impurity_milli"] for r in out.collect()}
+    by_id = {s.clip_id: s for s in expected_clips(len(got) + 200, 256)}
+    sep_pure, sep_corr = [], []
+    for cid, imp in got.items():
+        s = by_id.get(cid)
+        if s is None or s.sr_hz != 8000:
+            continue
+        (sep_corr if s.corrupted else sep_pure).append(imp)
+    assert sep_pure and sep_corr
+    assert max(sep_pure) < min(sep_corr), (max(sep_pure), min(sep_corr))

@@ -465,3 +465,32 @@ def test_uri_run_dir_rejected():
 
     with _pytest.raises(ValueError, match="local filesystem"):
         RunManifest("s3a://bucket/run")
+
+
+def test_speech_rate_rules(spark):
+    from valor_spark.plans.engine import validate
+    from valor_spark.plans.pipeline import speech_rate_rules
+
+    rows = [
+        # 3 words / 1000 ms = 180 wpm -> in [40, 400]: pass
+        ("ok", "one two three", 1000),
+        # 3 words / 300 ms = 600 wpm -> TooFast
+        ("fast", "one two three", 300),
+        # 1 word / 2000 ms = 30 wpm -> TooSlow
+        ("slow", "word", 2000),
+        # out of scope: single-field rules own these
+        ("empty", "", 1000),
+        ("null_tr", None, 1000),
+        ("bad_dur", "one two three", 0),
+        ("null_dur", "one two three", None),
+        # boundary: 2 words / 300 ms = 400 wpm exactly -> NOT > 400: pass
+        ("edge", "one two", 300),
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, transcript string, dur_ms int")
+    got = {
+        (r["clip_id"], r["error"])
+        for r in validate(df, speech_rate_rules(), key_cols=["clip_id"])
+        .violations()
+        .collect()
+    }
+    assert got == {("fast", "SpeechTooFast"), ("slow", "SpeechTooSlow")}

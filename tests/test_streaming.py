@@ -276,3 +276,49 @@ def test_profile_stream_batch_parity(spark, tmp_path_factory):
     assert ("a", "audio_clipping") in fired
     assert ("c", "audio_silence") in fired and ("c", "audio_zero_signal") in fired
     assert ("d", "audio_decode") in fired
+
+
+def test_drift_stream_matches_batch_psi(spark, tmp_path_factory):
+    from valor_spark.operators.drift import psi_df
+    from valor_spark.streaming.validate_stream import drift_stream
+
+    src = str(tmp_path_factory.mktemp("dsrc"))
+    # two files with deliberately different category mixes
+    spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "id int, cat int"
+    ).coalesce(1).write.parquet(src + "/a")
+    spark.createDataFrame(
+        [(100 + i, i % 5) for i in range(90)], "id int, cat int"
+    ).coalesce(1).write.parquet(src + "/b")
+    import glob as _g
+    import shutil
+
+    flat = str(tmp_path_factory.mktemp("dsrc_flat"))
+    for j, f in enumerate(sorted(_g.glob(src + "/*/part-*.parquet"))):
+        shutil.copyfile(f, f"{flat}/f{j}.parquet")
+
+    baseline = spark.read.parquet(f"{flat}/f0.parquet")
+    got: dict[int, float] = {}
+
+    def on_batch(psi_frame, batch_df, batch_id):
+        key = batch_df.agg(F.min("id")).collect()[0][0]
+        got[key] = psi_frame.collect()[0]["psi"]
+
+    stream = (
+        spark.readStream.schema("id int, cat int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    ckpt = str(tmp_path_factory.mktemp("dckpt"))
+    q = drift_stream(stream, baseline, "cat", on_batch, ckpt, trigger_once=True)
+    assert q.awaitTermination(120)
+
+    # stream execution, batch truth: each micro-batch's PSI equals the
+    # batch operator on the same file; the baseline batch scores 0.0
+    for fname, key in (("f0", 0), ("f1", 100)):
+        want = psi_df(
+            spark.read.parquet(f"{flat}/{fname}.parquet"), baseline, "cat"
+        ).collect()[0]["psi"]
+        assert got[key] == want
+    assert got[0] == 0.0
+    assert got[100] > 0.1

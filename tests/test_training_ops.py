@@ -599,3 +599,80 @@ def test_ngram_contamination(spark):
     assert got == {(0, 100): 1}
     strict = TX.ngram_contamination(corpus, evalset, n=5, min_shared=2).count()
     assert strict == 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+def _py_winnow(text: str, k: int = 4, w: int = 4) -> list[str]:
+    """Plain-Python reference: rolling k-gram md5 stream, min per w-window."""
+    import hashlib
+
+    toks = [t for t in text.lower().split() if t]
+    kh = [
+        hashlib.md5(" ".join(toks[i:i + k]).encode()).hexdigest()[:16]
+        for i in range(len(toks) - k + 1)
+    ]
+    if not kh:
+        return []
+    wins = [min(kh[j:j + w]) for j in range(max(len(kh) - w + 1, 1))]
+    return sorted(set(wins))
+
+
+def test_winnow_profile_matches_python_reference(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "one two three"),                    # < k tokens -> no kgrams
+        (2, "one two three four"),               # exactly k -> 1 kgram, m < w
+        (3, "one two three four five six"),      # 3 kgrams, still m < w
+        (4, None),                               # null doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in TX.winnow_profile(df).collect()}
+
+    import hashlib
+
+    for doc_id, text in rows:
+        fps = _py_winnow(text) if text else []
+        n_kgrams = max(len([t for t in (text or "").lower().split() if t]) - 3, 0)
+        r = got[doc_id]
+        assert r["n_kgrams"] == n_kgrams, doc_id
+        assert r["n_fp"] == len(fps), doc_id
+        expect_digest = (
+            hashlib.md5(",".join(fps).encode()).hexdigest()[:16] if fps else None
+        )
+        assert r["fp_digest"] == expect_digest, doc_id
+
+
+def test_winnow_locality_shared_passage_shares_fingerprint(spark):
+    # Winnowing guarantee: any shared passage of >= w+k-1 tokens yields at
+    # least one shared selected hash.  The two docs share a 7-token run
+    # (w+k-1 = 7 at k=w=4) inside otherwise-distinct text.
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    df = spark.createDataFrame(
+        [
+            (0, f"unrelated prefix words here {shared} and a tail"),
+            (1, f"{shared} totally different continuation text follows now"),
+            (2, "no overlap with anything else in this corpus at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in TX.winnow_pairs(df, min_shared=1, max_fp_freq=10).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert all(2 not in p for p in pairs)
+
+
+def test_winnow_pairs_frequency_cap_drops_boilerplate(spark):
+    text = "the same boilerplate sentence repeated across every document here"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(4)], "doc_id bigint, text string"
+    )
+    # every fingerprint appears in 4 docs: cap 3 kills all candidate pairs
+    assert TX.winnow_pairs(df, min_shared=1, max_fp_freq=3).count() == 0
+    # cap 4 admits them: all 6 unordered pairs share the full set
+    got = TX.winnow_pairs(df, min_shared=1, max_fp_freq=4)
+    assert got.count() == 6

@@ -457,6 +457,130 @@ def audio_quality_rules(
     }
 
 
+#: half-width (in bins) of the main-lobe exclusion zone when hunting the
+#: second spectral peak: a Hann window's main lobe spans +-2 bins, so +-3
+#: keeps leakage from the dominant tone out of the impurity measurement
+SPECTRUM_EXCLUDE_BINS = 3
+SPECTRUM_MIN_SAMPLES = 8
+
+
+def spectral_ints(sig, sr: int) -> tuple[int, int, int, int, int]:
+    """Integer spectral summary of one int16 PCM signal:
+    ``(n_samples, dom_bin, dom_hz, second_bin, impurity_milli)``.
+
+    Hann-windowed rFFT magnitude; ``dom_bin`` is the strongest non-DC bin,
+    ``dom_hz`` its center frequency against the METADATA sample rate (raw
+    PCM has no header; a header/metadata mismatch is sr_header_consistent's
+    concern), ``second_bin`` the strongest bin outside the dominant main
+    lobe (+-SPECTRUM_EXCLUDE_BINS), and ``impurity_milli`` the per-mille
+    magnitude ratio second/dominant — ~0 for a pure tone, materially
+    positive when a second tone is present.  Signals shorter than
+    SPECTRUM_MIN_SAMPLES samples, non-positive rates, or all-zero signals
+    return zeros.  All outputs are ints derived from bit-identical float
+    pipelines (same numpy ops on the same int16 input on every engine), so
+    the values are canonicalizer-safe."""
+    m = int(len(sig))
+    if m < SPECTRUM_MIN_SAMPLES or sr <= 0:
+        return m, 0, 0, 0, 0
+    x = sig.astype(np.float64) * np.hanning(m)
+    mag = np.abs(np.fft.rfft(x))
+    mag[0] = 0.0
+    dom = int(np.argmax(mag))
+    peak = mag[dom]
+    if peak == 0.0:
+        return m, 0, 0, 0, 0
+    dom_hz = int(round(dom * sr / m))
+    rest = mag.copy()
+    rest[max(dom - SPECTRUM_EXCLUDE_BINS, 0) : dom + SPECTRUM_EXCLUDE_BINS + 1] = 0.0
+    second = int(np.argmax(rest))
+    impurity = int(round(1000.0 * rest[second] / peak))
+    return m, dom, dom_hz, second, impurity
+
+
+def audio_spectrum(clips: DataFrame) -> DataFrame:
+    """Per-clip dominant-tone spectral check in ONE ``mapInArrow`` pass over
+    the pruned ``(clip_id, bytes, codec, sr_hz)`` projection:
+    ``(clip_id, n_samples, dom_bin, dom_hz, second_bin, impurity_milli,
+    decode_error)``.
+
+    The spectral content check the amplitude-domain :func:`audio_profile`
+    cannot make: a clip whose waveform stats look healthy but whose
+    spectrum carries an unexpected second tone (crosstalk, hum, a mixed-in
+    source) shows up as ``impurity_milli`` far above a pure recording's
+    leakage floor.  Same scale shape as the profile pass: NO shuffle, one
+    narrow columnar scan, zero-copy payload views, integer outputs (floats
+    never cross the Arrow boundary).  FFT cost is O(m log m) per clip
+    inside the batch loop — compute-bound, embarrassingly parallel."""
+    sel = clips.select("clip_id", "bytes", "codec", "sr_hz")
+    out_schema = (
+        "clip_id string, n_samples int, dom_bin int, dom_hz int, "
+        "second_bin int, impurity_milli int, decode_error string"
+    )
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            get_bytes = _binary_views(b.column(1))
+            codecs = b.column(2).to_pylist()
+            rates = b.column(3).to_pylist()
+            n_samples = np.zeros(n, np.int32)
+            dom_bin = np.zeros(n, np.int32)
+            dom_hz = np.zeros(n, np.int32)
+            second_bin = np.zeros(n, np.int32)
+            impurity = np.zeros(n, np.int32)
+            errors: list[str | None] = [None] * n
+            for i in range(n):
+                rw = get_bytes(i)
+                cod = codecs[i]
+                if rw is None:
+                    errors[i] = "null_bytes"
+                    continue
+                if cod == "pcm_s16le":
+                    if len(rw) % 2:
+                        errors[i] = "odd_byte_length"
+                        continue
+                    sig = rw.view("<i2")
+                else:
+                    sig, _rate, err = decode_one(rw.tobytes(), cod)
+                    if err is not None:
+                        errors[i] = err
+                        continue
+                sr = rates[i] if rates[i] is not None else 0
+                (
+                    n_samples[i],
+                    dom_bin[i],
+                    dom_hz[i],
+                    second_bin[i],
+                    impurity[i],
+                ) = spectral_ints(sig, sr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(n_samples, pa.int32()),
+                    pa.array(dom_bin, pa.int32()),
+                    pa.array(dom_hz, pa.int32()),
+                    pa.array(second_bin, pa.int32()),
+                    pa.array(impurity, pa.int32()),
+                    pa.array(errors, pa.string()),
+                ],
+                schema=pa.schema(
+                    [
+                        b.schema.field(0),
+                        pa.field("n_samples", pa.int32()),
+                        pa.field("dom_bin", pa.int32()),
+                        pa.field("dom_hz", pa.int32()),
+                        pa.field("second_bin", pa.int32()),
+                        pa.field("impurity_milli", pa.int32()),
+                        pa.field("decode_error", pa.string()),
+                    ]
+                ),
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
 def audio_segments(
     clips: DataFrame,
     silence_threshold: int = 512,

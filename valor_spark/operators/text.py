@@ -306,6 +306,122 @@ def shingles(col: Column, n: int = 5) -> Column:
     return shingles_t(tokens(col), n)
 
 
+def kgram_hashes_t(toks: Column, k: int = 4) -> Column:
+    """Rolling k-token-gram hash stream over an ALREADY-MATERIALIZED token
+    array: 16-hex md5 prefixes, one per gram position, order-preserving.
+    Fixed-width lowercase hex compares exactly like the underlying 64-bit
+    number, so ``array_min`` over these strings is a numeric min in both
+    engines.  Fewer than k tokens yields an empty array.  Same scale
+    contract as :func:`bigrams_t`: an inline token expression here would
+    re-tokenize per element inside the interpreted HOF lambda."""
+    cnt = F.coalesce(F.size(toks), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (k - 1), F.lit(0)))
+    return F.when(cnt < k, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 16),
+        )
+    )
+
+
+def winnow_t(khashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    §4): slide a w-window over the rolling k-gram hash stream, keep the min
+    hash of every window, dedup + sort.  Guarantees every substring of
+    w+k-1 tokens contributes at least one selected hash, so any sufficiently
+    long shared passage between two documents yields a shared fingerprint —
+    the locality property plain modulo-sampling (0 mod p) lacks.
+
+    ``khashes`` must be a plain column reference (materialize
+    :func:`kgram_hashes_t` in a lower Project first — it is referenced once
+    per window element inside the interpreted HOF lambda).  Fewer hashes
+    than a window selects the whole-stream min (standard boundary choice);
+    an empty stream selects nothing."""
+    m = F.coalesce(F.size(khashes), F.lit(0))
+    idx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+    wins = F.when(m == 0, F.array().cast("array<string>")).otherwise(
+        # slice() clamps at the array end, so the single m<w window spans
+        # the whole stream — same clamp semantics as DuckDB's kh[j:j+w-1]
+        F.transform(idx, lambda j: F.array_min(F.slice(khashes, j, w)))
+    )
+    return F.array_sort(F.array_distinct(wins))
+
+
+def winnow_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint summary:
+    ``(id, n_kgrams, n_fp, fp_digest)`` where ``fp_digest`` is a 16-hex md5
+    of the sorted distinct fingerprint set — one short string that pins the
+    EXACT selected-hash set for cross-engine comparison.
+
+    Two lower Projects materialize the token array and then the k-gram hash
+    stream, so the tokenizer runs once per document and the hash stream once
+    per window (not once per window ELEMENT — HOFs are interpreted;
+    CollapseProject keeps multiply-referenced non-trivial aliases)."""
+    fp = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, kgram_hashes_t(F.col("__toks"), k).alias("__kh"))
+        .select(
+            F.col(id_col),
+            F.size(F.col("__kh")).alias("n_kgrams"),
+            winnow_t(F.col("__kh"), w).alias("__fp"),
+        )
+    )
+    return fp.select(
+        F.col(id_col),
+        "n_kgrams",
+        F.size("__fp").alias("n_fp"),
+        F.when(F.size("__fp") == 0, F.lit(None).cast("string")).otherwise(
+            F.substring(F.md5(F.concat_ws(",", F.col("__fp"))), 1, 16)
+        ).alias("fp_digest"),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 50,
+) -> DataFrame:
+    """Near-duplicate pairs by shared winnowing fingerprints (the MOSS
+    scheme): every (a, b) doc pair, a < b, sharing >= ``min_shared``
+    selected hashes, with the shared count.  Returns ``(doc_a, doc_b,
+    n_shared)``.
+
+    Scale shape: explode the selected set (already ~1/w of the k-gram
+    stream — winnowing IS the sampling step, so the shuffle carries w-fold
+    fewer rows than a full shingle join), drop fingerprints appearing in
+    more than ``max_fp_freq`` docs (boilerplate hashes pair half the corpus
+    with the other half — the frequency cap bounds any bucket's pair
+    fan-out at max_fp_freq^2, same treatment as ngram_jaccard), self-join
+    on the 16-hex hash, count per pair.  Shuffles carry (doc, hash)
+    scalars only, never text."""
+    fps = (
+        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+        .select("doc", kgram_hashes_t(F.col("__toks"), k).alias("__kh"))
+        .select("doc", F.explode(winnow_t(F.col("__kh"), w)).alias("fp"))
+    )
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = fps.join(freq.filter(F.col("n_docs") <= max_fp_freq), on="fp")
+    a = rare.select(F.col("fp"), F.col("doc").alias("doc_a"))
+    b = rare.select(F.col("fp"), F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     evalset: DataFrame,

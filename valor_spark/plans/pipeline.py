@@ -53,6 +53,49 @@ def _shard_col(has_shard: bool):
     return F.coalesce(F.col("shard").cast("int"), F.lit(UNSHARDED))
 
 
+#: speech-rate plausibility window (words per minute).  Conversational
+#: speech sits around 110-180 wpm; transcripts implying rates far outside
+#: the window signal transcript/audio mismatch (wrong pairing, truncated
+#: audio, machine-generated filler) — a cross-COLUMN consistency check the
+#: single-field rules above cannot express.
+MIN_WPM = 40
+MAX_WPM = 400
+
+
+def speech_rate_rules(min_wpm: int = MIN_WPM, max_wpm: int = MAX_WPM) -> dict:
+    """Transcript-vs-duration consistency rule over the full row struct
+    (the rule algebra's multi-column form: no ``adapt``/``field`` focus —
+    ``make`` reads two fields of the row).
+
+    All-integer decision: ``n_tokens * 60000`` vs ``wpm_bound * dur_ms``
+    (bigint — no float division, so the verdict is exact and
+    engine-portable).  Rows with NULL/empty transcripts or non-positive
+    durations are OUT of scope — the single-field rules already flag them,
+    and a rate over garbage inputs would double-report."""
+
+    def _toks(tr):
+        return F.filter(F.split(F.lower(tr), r"\s+"), lambda t: t != "")
+
+    def _guarded(cond_fn, err: str):
+        def err_fn(row):
+            tr = row.getField("transcript")
+            dur = row.getField("dur_ms")
+            in_scope = (
+                tr.isNotNull() & (tr != "") & dur.isNotNull() & (dur > 0)
+            )
+            nt = F.size(_toks(tr)).cast("bigint")
+            return F.when(in_scope & cond_fn(nt, dur.cast("bigint")), EA.lit([err]))
+
+        return make(err_fn, EA)
+
+    return {
+        "speech_rate": conN(
+            _guarded(lambda nt, dur: nt * 60000 > max_wpm * dur, "SpeechTooFast"),
+            _guarded(lambda nt, dur: nt * 60000 < min_wpm * dur, "SpeechTooSlow"),
+        )
+    }
+
+
 def clips_row_rules() -> dict:
     """Per-row schema/sanity rules over the input_hint columns — all pure
     Column expressions (one narrow select, no shuffle)."""

@@ -328,3 +328,75 @@ def build_audio_segments_fixture(fixture_dir: str) -> str:
         path,
     )
     return path
+
+
+def _spectrum_for(pcm, sr: int):
+    """Spec-side spectral derivation mirroring audio.spectral_ints: Hann
+    window, rFFT magnitude, DC zeroed, dominant bin, strongest bin outside
+    the +-3-bin main lobe, per-mille magnitude ratio."""
+    import numpy as np
+
+    m = int(len(pcm))
+    if m < 8 or sr <= 0:
+        return m, 0, 0, 0, 0
+    x = pcm.astype(np.float64) * np.hanning(m)
+    mag = np.abs(np.fft.rfft(x))
+    mag[0] = 0.0
+    dom = int(np.argmax(mag))
+    peak = mag[dom]
+    if peak == 0.0:
+        return m, 0, 0, 0, 0
+    dom_hz = int(round(dom * sr / m))
+    rest = mag.copy()
+    rest[max(dom - 3, 0) : dom + 4] = 0.0
+    second = int(np.argmax(rest))
+    return m, dom, dom_hz, second, int(round(1000.0 * rest[second] / peak))
+
+
+def build_audio_spectrum_fixture(fixture_dir: str) -> str:
+    """Expected integer spectrum rows for every clips-parquet row
+    (spectral analysis is per-row — dups/hot keys included), written as
+    parquet; returns the path.  Independent derivation: spec -> synth_pcm
+    -> numpy, against the engine's bytes -> decode -> numpy."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = _fixture_tag()
+    path = os.path.join(fixture_dir, f"clips_audio_spectrum_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    build_audio_fixture(fixture_dir)
+
+    rows = []
+    zero = (0, 0, 0, 0, 0)
+    for sp in expected_clips(N_CLIPS, MAX_SAMPLES):
+        if sp.codec not in ("pcm_s16le", "wav"):
+            rows.append((sp.clip_id, *zero, f"unsupported_codec:{sp.codec}"))
+            continue
+        pcm = S.synth_pcm(sp.g, sp.sr_hz, sp.dur_ms, MAX_SAMPLES, sp.corrupted)
+        if sp.truncated:
+            pcm = pcm[: len(pcm) // 2]
+        rows.append((sp.clip_id, *_spectrum_for(pcm, sp.sr_hz), None))
+    for k in range(N_HEADER_MISMATCH):
+        pcm = np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2")
+        # the engine converts bins with the METADATA rate (16000), not the
+        # planted WAV header rate — sr_header_consistent owns that mismatch
+        rows.append((f"hdrmm_{k}", *_spectrum_for(pcm, 16000), None))
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "n_samples": pa.array(cols[1], pa.int32()),
+                "dom_bin": pa.array(cols[2], pa.int32()),
+                "dom_hz": pa.array(cols[3], pa.int32()),
+                "second_bin": pa.array(cols[4], pa.int32()),
+                "impurity_milli": pa.array(cols[5], pa.int32()),
+                "decode_error": pa.array(cols[6], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path

@@ -197,3 +197,38 @@ def profile_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drift_stream(
+    stream_df: DataFrame,
+    baseline_df: DataFrame,
+    col: str,
+    on_batch: Callable[[DataFrame, DataFrame, int], None],
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Distribution-drift monitoring at INGEST time: every micro-batch's
+    categorical distribution of ``col`` is PSI-scored against a FIXED
+    baseline (the training/reference distribution) with the batch
+    ``psi_df`` operator unchanged inside ``foreachBatch`` — the streaming
+    shape of the north_rule drift check (alert while the feed lands, not
+    after the next full scan).  ``on_batch(psi_row_df, batch_df,
+    batch_id)`` receives the one-row PSI frame plus the batch itself so
+    callers can key the score by batch content (order-independent) rather
+    than batch id.  The baseline is a plain DataFrame captured in the
+    closure: re-evaluated per batch, O(categories) after the groupBy, and
+    identical to what the batch path would compute — stream execution,
+    batch truth."""
+    from valor_spark.operators.drift import psi_df
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        on_batch(psi_df(batch_df, baseline_df, col), batch_df, batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
