@@ -1165,6 +1165,24 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_contamination(docs, evalset, n=5, min_shared=2)
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition stats (operators/text.py::doc_repetition;
+    Gopher-style repetition filters as all-integer outputs): token/bigram
+    distinct counts + summed token chars in ONE shuffle-free Project."""
+    return TX.doc_repetition(_t(spark, sf_dir, "documents"))
+
+
+def q_val_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filters AS VALOR RULES over the integer
+    feature frame (operators/text.py::doc_quality_rules): too-short /
+    too-repetitive / word-length-outlier docs, all integer cross-product
+    decisions, violations through the same validate() engine as every
+    other rule set."""
+    feats = TX.doc_repetition(_t(spark, sf_dir, "documents"))
+    res = validate(feats, TX.doc_quality_rules(), key_cols=["doc_id"])
+    return res.violations().select("doc_id", "rule", "error")
+
+
 def q_winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (operators/text.py::winnow_profile;
     Schleimer et al. SIGMOD'03): rolling 4-token-gram hash stream, min hash
@@ -1377,6 +1395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "value_histogram": q_value_histogram,
         "orders_by_month": q_orders_by_month,
+        # ---- round-4 late additions (tail this round; rotate into the
+        # graded window next round) ---------------------------------------
+        "doc_repetition": q_doc_repetition,
+        "val_docs_quality": q_val_docs_quality,
     }
 
 
@@ -1390,6 +1412,33 @@ _SQL_TOKHASH = (
     "list_reduce(list_prepend(0::BIGINT, list_transform(string_split({tok}, ''), "
     "c -> ord(c)::BIGINT)), (a, b) -> (a * 31 + b) % 1000000007)"
 )
+
+
+def _sql_doc_features() -> str:
+    """CTE chain ending in ``feats(doc_id, n_tokens, n_distinct_tokens,
+    n_bigrams, n_distinct_bigrams, sum_token_chars)`` — matches
+    operators/text.py::doc_repetition (same tokenizer/bigram lambdas;
+    SUM(int) cast BIGINT per the DuckDB int128 gotcha)."""
+    toks = _SQL_TOKENS.format(col="text")
+    return f"""
+            WITH tokf AS (SELECT doc_id, {toks} AS t FROM documents),
+            bgf AS (
+              SELECT doc_id, t,
+                CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                     ELSE list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])
+                END AS bg
+              FROM tokf
+            ),
+            feats AS (
+              SELECT doc_id,
+                     CAST(len(t) AS INT) AS n_tokens,
+                     CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+                     CAST(len(bg) AS INT) AS n_bigrams,
+                     CAST(len(list_distinct(bg)) AS INT) AS n_distinct_bigrams,
+                     CAST(COALESCE(list_aggregate(list_transform(t, x -> len(x)), 'sum'), 0) AS BIGINT) AS sum_token_chars
+              FROM bgf
+            )"""
 
 
 def _sql_winnow_cte(k: int = 4, w: int = 4) -> str:
@@ -1988,6 +2037,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, n,
                    ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rank
             FROM counts QUALIFY rank <= 20
+        """,
+        "doc_repetition": f"""
+            {_sql_doc_features()}
+            SELECT * FROM feats
+        """,
+        "val_docs_quality": f"""
+            {_sql_doc_features()}
+            SELECT doc_id, 'min_tokens' AS rule, 'TooFewTokens' AS error
+            FROM feats WHERE n_tokens < 15
+            UNION ALL
+            SELECT doc_id, 'repetition', 'TooRepetitive'
+            FROM feats WHERE n_tokens > 0 AND n_distinct_tokens * 1000 < n_tokens * 600
+            UNION ALL
+            SELECT doc_id, 'word_length', 'WordsTooShort'
+            FROM feats WHERE n_tokens > 0 AND sum_token_chars * 10 < n_tokens * 30
+            UNION ALL
+            SELECT doc_id, 'word_length', 'WordsTooLong'
+            FROM feats WHERE n_tokens > 0 AND sum_token_chars * 10 > n_tokens * 100
         """,
         "winnow_docs": f"""
             {_sql_winnow_cte()}

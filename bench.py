@@ -76,6 +76,8 @@ HEADLINE = [
     "winnow_pairs",
     "val_speech_rate",
     "audio_spectrum",
+    "doc_repetition",
+    "val_docs_quality",
 ]
 
 

@@ -676,3 +676,50 @@ def test_winnow_pairs_frequency_cap_drops_boilerplate(spark):
     # cap 4 admits them: all 6 unordered pairs share the full set
     got = TX.winnow_pairs(df, min_shared=1, max_fp_freq=4)
     assert got.count() == 6
+
+
+def test_doc_repetition_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b"),          # toks 4/2 distinct, bigrams 3/2, chars 4
+            (1, "one two three"),    # 3/3, 2/2, chars 11
+            (2, ""),                 # empty
+            (3, None),               # null
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in TX.doc_repetition(df).collect()}
+    assert tuple(got[0])[1:] == (4, 2, 3, 2, 4)
+    assert tuple(got[1])[1:] == (3, 3, 2, 2, 11)
+    assert tuple(got[2])[1:] == (0, 0, 0, 0, 0)
+    assert tuple(got[3])[1:] == (0, 0, 0, 0, 0)
+
+
+def test_doc_quality_rules_fire_matrix(spark):
+    from valor_spark.plans.engine import validate
+
+    rows = [
+        # 20 distinct 4-char tokens: passes everything
+        (0, " ".join(f"tok{i:02d}" for i in range(20))),
+        (1, "short doc"),                      # < 15 tokens -> TooFewTokens
+        # 20 tokens, 2 distinct -> repetition (also >= 15 tokens, so no
+        # min_tokens row); mean chars = 1.5 -> WordsTooShort too
+        (2, "a b " * 10),
+        # 16 tokens of 12 chars -> mean 12 > 10 -> WordsTooLong
+        (3, " ".join(f"verylongword{i:04d}" for i in range(16))),
+    ]
+    feats = TX.doc_repetition(
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+    )
+    got = {
+        (r["doc_id"], r["error"])
+        for r in validate(feats, TX.doc_quality_rules(), key_cols=["doc_id"])
+        .violations()
+        .collect()
+    }
+    assert got == {
+        (1, "TooFewTokens"),
+        (2, "TooRepetitive"),
+        (2, "WordsTooShort"),
+        (3, "WordsTooLong"),
+    }

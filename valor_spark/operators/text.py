@@ -306,6 +306,83 @@ def shingles(col: Column, n: int = 5) -> Column:
     return shingles_t(tokens(col), n)
 
 
+def doc_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition stats — the Gopher-style repetition
+    filters (Rae et al. 2021 §A1.1) reduced to ALL-INTEGER outputs:
+    ``(id, n_tokens, n_distinct_tokens, n_bigrams, n_distinct_bigrams,
+    sum_token_chars)``.  Duplicate-token/bigram ratios and mean word length
+    are one integer division away and never enter the output, so the stats
+    are engine-exact under any partitioning.
+
+    ONE narrow Project per doc, NO shuffle: token and bigram arrays are
+    materialized in lower Projects (the bigrams_t scale contract), then
+    sized/deduped/summed as interpreted-but-linear array ops.  The whole
+    frame is a map-side pass — at 100 TB it pipelines with the scan."""
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(id_col, F.col("__toks"), bigrams_t(F.col("__toks")).alias("__bg"))
+    )
+    toks, bg = F.col("__toks"), F.col("__bg")
+    return base.select(
+        F.col(id_col),
+        F.coalesce(F.size(toks), F.lit(0)).alias("n_tokens"),
+        F.coalesce(F.size(F.array_distinct(toks)), F.lit(0)).alias("n_distinct_tokens"),
+        F.coalesce(F.size(bg), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.size(F.array_distinct(bg)), F.lit(0)).alias("n_distinct_bigrams"),
+        F.coalesce(
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, t: a + F.length(t)),
+            F.lit(0).cast("bigint"),
+        ).alias("sum_token_chars"),
+    )
+
+
+def doc_quality_rules(
+    min_tokens: int = 15,
+    min_distinct_per_mille: int = 600,
+    min_mean_chars_deci: int = 30,
+    max_mean_chars_deci: int = 100,
+) -> dict:
+    """Gopher-style document quality filters AS VALOR RULES over the
+    integer feature row :func:`doc_repetition` produces — the rule algebra
+    applied to the training-data domain: too-short docs, token-repetition
+    beyond threshold (distinct/total below ``min_distinct_per_mille``), and
+    mean word length outside [3.0, 10.0] chars.  Every decision is an
+    integer cross-product (per-mille / deci-char thresholds), so verdicts
+    are exact and engine-portable."""
+    from valor_spark import EArray, conN, make
+
+    EA = EArray()
+
+    def rule(cond_fn, err: str):
+        return make(
+            lambda row: F.when(cond_fn(row), EA.lit([err])), EA
+        )
+
+    nt = lambda r: r.getField("n_tokens").cast("bigint")
+    nd = lambda r: r.getField("n_distinct_tokens").cast("bigint")
+    sc = lambda r: r.getField("sum_token_chars")
+    return {
+        "min_tokens": rule(lambda r: nt(r) < min_tokens, "TooFewTokens"),
+        "repetition": rule(
+            lambda r: (nt(r) > 0)
+            & (nd(r) * 1000 < nt(r) * min_distinct_per_mille),
+            "TooRepetitive",
+        ),
+        "word_length": conN(
+            rule(
+                lambda r: (nt(r) > 0) & (sc(r) * 10 < nt(r) * min_mean_chars_deci),
+                "WordsTooShort",
+            ),
+            rule(
+                lambda r: (nt(r) > 0) & (sc(r) * 10 > nt(r) * max_mean_chars_deci),
+                "WordsTooLong",
+            ),
+        ),
+    }
+
+
 def kgram_hashes_t(toks: Column, k: int = 4) -> Column:
     """Rolling k-token-gram hash stream over an ALREADY-MATERIALIZED token
     array: 16-hex md5 prefixes, one per gram position, order-preserving.
