@@ -1165,6 +1165,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_contamination(docs, evalset, n=5, min_shared=2)
 
 
+TFIDF_TERMS = ["spark", "table", "sort"]
+
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF ranked retrieval (operators/text.py::tfidf_topk): top-10
+    docs for a 3-term query; idf rounded+DECIMAL-cast so the per-doc score
+    sum is exact under any partitioning; term filter sits UNDER the
+    explode so only query-term hits shuffle; top-k is
+    TakeOrderedAndProject."""
+    return TX.tfidf_topk(_t(spark, sf_dir, "documents"), TFIDF_TERMS, k=10)
+
+
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition stats (operators/text.py::doc_repetition;
     Gopher-style repetition filters as all-integer outputs): token/bigram
@@ -1399,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graded window next round) ---------------------------------------
         "doc_repetition": q_doc_repetition,
         "val_docs_quality": q_val_docs_quality,
+        "tfidf_topk": q_tfidf_topk,
     }
 
 
@@ -2037,6 +2050,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, n,
                    ROW_NUMBER() OVER (ORDER BY n DESC, bigram ASC) AS rank
             FROM counts QUALIFY rank <= 20
+        """,
+        "tfidf_topk": f"""
+            WITH hits AS (
+              SELECT doc_id AS doc,
+                     unnest(list_filter({_SQL_TOKENS.format(col='text')},
+                            t -> list_contains({TFIDF_TERMS!r}, t))) AS term
+              FROM documents
+            ),
+            tf AS (SELECT doc, term, COUNT(*) AS tf FROM hits GROUP BY doc, term),
+            idf AS (
+              SELECT term,
+                     CAST(ROUND(LN((n + 1.0) / (df + 1.0)) + 1, 6) AS DECIMAL(18,6)) AS idf
+              FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+                   (SELECT COUNT(*) AS n FROM documents)
+            ),
+            scored AS (
+              SELECT doc, SUM(tf * idf) AS s
+              FROM tf JOIN idf USING (term) GROUP BY doc
+            )
+            SELECT doc AS doc_id, CAST(s AS DOUBLE) AS score,
+                   ROW_NUMBER() OVER (ORDER BY s DESC, doc ASC) AS rank
+            FROM scored QUALIFY rank <= 10
         """,
         "doc_repetition": f"""
             {_sql_doc_features()}

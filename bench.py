@@ -78,6 +78,7 @@ HEADLINE = [
     "audio_spectrum",
     "doc_repetition",
     "val_docs_quality",
+    "tfidf_topk",
 ]
 
 

@@ -723,3 +723,36 @@ def test_doc_quality_rules_fire_matrix(spark):
         (2, "WordsTooShort"),
         (3, "WordsTooLong"),
     }
+
+
+def test_tfidf_topk_hand_computed(spark):
+    import math
+    from decimal import Decimal, ROUND_HALF_UP
+
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark table"),     # tf: spark 2, table 1
+            (1, "table table table sort"),
+            (2, "spark sort"),
+            (3, "nothing relevant here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = [(r["doc_id"], r["score"], r["rank"])
+           for r in TX.tfidf_topk(df, ["spark", "table", "sort"], k=3).collect()]
+
+    def idf(dfreq, n=4):
+        x = math.log((n + 1) / (dfreq + 1)) + 1
+        return Decimal(str(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+    # df: spark in {0,2}, table in {0,1}, sort in {1,2}
+    i = {t: idf(2) for t in ("spark", "table", "sort")}
+    want = {
+        0: float(2 * i["spark"] + 1 * i["table"]),
+        1: float(3 * i["table"] + 1 * i["sort"]),
+        2: float(1 * i["spark"] + 1 * i["sort"]),
+    }
+    # doc 1 (3.528...) > doc 0 (3.528...)? compute the order from the values
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == [(d, s, r + 1) for r, (d, s) in enumerate(order)]
+    assert all(d != 3 for d, _, _ in got)

@@ -383,6 +383,69 @@ def doc_quality_rules(
     }
 
 
+def tfidf_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF ranked retrieval: top-``k`` documents for a bag-of-terms
+    query, scored ``sum over matching terms of tf * idf`` with
+    ``idf = ln((N+1)/(df+1)) + 1`` (the smoothed scikit-style variant).
+    Returns ``(id, score, rank)``; ties break by id ascending.
+
+    Engine-exact float discipline (the col_stats lesson): idf is ROUNDED
+    to 6 decimals and cast to DECIMAL before the per-doc sum, and tf is an
+    integer — so the score aggregation is exact decimal arithmetic,
+    independent of partitioning/order, and the only float op (one ln per
+    query term) is computed once on a count, where JVM and DuckDB libm
+    agree within the rounding.
+
+    Scale shape: tokens explode ONLY for query-term matches (the filter
+    sits under the explode, so the shuffle carries (doc, term) hits, not
+    the corpus); document frequency aggregates |terms| rows; the idf join
+    broadcasts (|terms| rows); the final top-k is orderBy+limit —
+    TakeOrderedAndProject, per-partition partial top-k."""
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    hits = (
+        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "doc",
+            F.explode(
+                F.filter(F.col("__toks"), lambda t: F.array_contains(terms_arr, t))
+            ).alias("term"),
+        )
+    )
+    tf = hits.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.round(
+                F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1, 6
+            ).cast("decimal(18,6)").alias("idf"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), on="term")
+        .groupBy("doc")
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("__score"))
+    )
+    from pyspark.sql.window import Window
+
+    top = scored.orderBy(F.col("__score").desc(), F.col("doc").asc()).limit(k)
+    w = Window.orderBy(F.col("__score").desc(), F.col("doc").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc").alias(id_col),
+        F.col("__score").cast("double").alias("score"),
+        "rank",
+    )
+
+
 def kgram_hashes_t(toks: Column, k: int = 4) -> Column:
     """Rolling k-token-gram hash stream over an ALREADY-MATERIALIZED token
     array: 16-hex md5 prefixes, one per gram position, order-preserving.
