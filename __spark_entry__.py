@@ -1165,6 +1165,70 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.ngram_contamination(docs, evalset, n=5, min_shared=2)
 
 
+def _ensure_stream_docs(sf_dir: str) -> str:
+    """Two-file parquet stream source over the sf_dir documents (split by
+    doc_id parity) — near-dup pairs must be found ACROSS the two
+    micro-batches, which is the whole point of the stateful operator."""
+    import pyarrow.parquet as pq
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(FIXTURE_DIR, f"stream_docs_{tag}")
+    if not os.path.exists(os.path.join(d, "f2.parquet")):
+        os.makedirs(d, exist_ok=True)
+        import pyarrow.compute as pc
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        parity = pc.bit_wise_and(t.column("doc_id"), 1)
+        pq.write_table(t.filter(pc.equal(parity, 0)), os.path.join(d, "f1.parquet"))
+        pq.write_table(t.filter(pc.equal(parity, 1)), os.path.join(d, "f2.parquet"))
+    return d
+
+
+def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming NEAR-dup in the graded gate
+    (streaming/validate_stream.py::streaming_near_dup): winnowing
+    fingerprints flow into applyInPandasWithState keyed by fingerprint;
+    docs stream in two micro-batches split by id parity, so every near-dup
+    pair is discovered ACROSS batches (or within one) exactly once; the
+    aggregated hit counts must equal the batch winnow_pairs oracle —
+    stream execution, batch truth."""
+    import tempfile
+
+    from valor_spark.streaming.validate_stream import streaming_near_dup
+
+    src = _ensure_stream_docs(sf_dir)
+    docs_schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    hits: list = []
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hits.extend(batch_df.collect())
+
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_neardup_ckpt_")
+    q = (
+        streaming_near_dup(stream)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_near_dup: StreamingQuery did not finish in 300s")
+    hit_df = spark.createDataFrame(
+        [(r["doc_a"], r["doc_b"]) for r in hits] or [], "doc_a bigint, doc_b bigint"
+    )
+    return (
+        hit_df.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
 TFIDF_TERMS = ["spark", "table", "sort"]
 
 
@@ -1412,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "val_docs_quality": q_val_docs_quality,
         "tfidf_topk": q_tfidf_topk,
+        "stream_near_dup": q_stream_near_dup,
     }
 
 
@@ -1750,7 +1815,7 @@ def oracle_sql() -> dict[str, str]:
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
-    return {
+    oracles = {
         "val_orders": """
             SELECT o_orderkey, 'priority_urgent' AS rule, 'PriorityLow' AS error
             FROM orders
@@ -2588,3 +2653,9 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rank <= 3
         """,
     }
+    # stream execution, batch truth: the stateful streaming near-dup must
+    # reproduce the batch winnow_pairs answer on the same corpus (the
+    # fixture's max docs-per-fingerprint is far below both the batch freq
+    # cap and the streaming state cap, so the two cap semantics coincide)
+    oracles["stream_near_dup"] = oracles["winnow_pairs"]
+    return oracles

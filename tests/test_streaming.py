@@ -322,3 +322,56 @@ def test_drift_stream_matches_batch_psi(spark, tmp_path_factory):
         assert got[key] == want
     assert got[0] == 0.0
     assert got[100] > 0.1
+
+
+def test_streaming_near_dup_matches_batch_winnow_pairs(spark, tmp_path_factory):
+    from valor_spark.operators.text import winnow_pairs
+    from valor_spark.streaming.validate_stream import streaming_near_dup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, f"{shared} with one tail here"),            # file 1
+        (2, "totally unrelated words in this document body text"),
+        (1, f"prefix words then {shared} afterwards"),  # file 2: cross-batch dup of 0
+        (3, f"another copy {shared} trailing words"),   # file 2: dups 0 AND 1
+    ]
+    flat = str(tmp_path_factory.mktemp("nd_src"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for fname, ids in (("f1.parquet", (0, 2)), ("f2.parquet", (1, 3))):
+        sel = [r for r in rows if r[0] in ids]
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in sel], pa.int64()),
+                      "text": pa.array([r[1] for r in sel], pa.string())}),
+            f"{flat}/{fname}",
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(flat)
+    )
+    hits: list = []
+    ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    q = (
+        streaming_near_dup(stream)
+        .writeStream.foreachBatch(lambda b, _i: hits.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    from collections import Counter
+
+    got = Counter((r["doc_a"], r["doc_b"]) for r in hits)
+    batch = spark.createDataFrame(rows, "doc_id bigint, text string")
+    want = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in winnow_pairs(batch, min_shared=1, max_fp_freq=50).collect()
+    }
+    assert dict(got) == want
+    # the cross-batch pair (0,1) specifically must exist — the stateful
+    # operator's reason to exist
+    assert (0, 1) in got

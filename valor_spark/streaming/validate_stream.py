@@ -232,3 +232,81 @@ def drift_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_near_dup(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    max_docs_per_fp: int = 50,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-micro-batch NEAR-duplicate detection at ingest: winnowing
+    fingerprints are computed JVM-side (the batch text operators, one
+    narrow Project chain) BEFORE the stateful operator, then
+    ``applyInPandasWithState`` keyed by fingerprint remembers which docs
+    hold each hash across triggers.  Every (prior doc, new doc)
+    co-occurrence on a fingerprint emits one hit row ``(fp, doc_a,
+    doc_b)`` with ``doc_a < doc_b`` — exactly once, regardless of arrival
+    order, because a pair is emitted when its SECOND member arrives.
+    Aggregating hits per pair (>= min_shared) downstream reproduces the
+    batch ``winnow_pairs`` answer — stream execution, batch truth.
+
+    State per fingerprint is a doc-id list capped at ``max_docs_per_fp``
+    (the boilerplate-hash guard: an unbounded list makes one hot hash emit
+    O(n^2) pairs and grow state without limit; docs beyond the cap pair
+    against the first ``max_docs_per_fp`` holders only).  ``ttl_ms``
+    bounds state lifetime like :func:`streaming_duplicate_clips` — at
+    10^12 docs the dedup window, not all-time fingerprint cardinality,
+    must size the state store."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from valor_spark.operators.text import kgram_hashes_t, tokens, winnow_t
+
+    fps = (
+        stream_df.select(
+            F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__toks")
+        )
+        .select("__doc", kgram_hashes_t(F.col("__toks"), k).alias("__kh"))
+        .select("__doc", F.explode(winnow_t(F.col("__kh"), w)).alias("fp"))
+    )
+    out_schema = "fp string, doc_a long, doc_b long"
+    state_schema = "ids array<long>"
+
+    def fn(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        stored = list(state.get[0]) if state.exists else []
+        batch_ids = sorted({int(v) for pdf in pdfs for v in pdf["__doc"]})
+        new_ids = [i for i in batch_ids if i not in stored]
+        a_out, b_out = [], []
+        for idx, b in enumerate(new_ids):
+            for a in stored + new_ids[:idx]:
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
+        combined = (stored + new_ids)[:max_docs_per_fp]
+        state.update((combined,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if a_out:
+            yield pd.DataFrame(
+                {"fp": [key[0]] * len(a_out), "doc_a": a_out, "doc_b": b_out}
+            )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return fps.groupBy("fp").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
