@@ -176,6 +176,39 @@ def main():
         "(norms ride through the join).",
     )
 
+    from valor_spark.operators.text import tfidf_topk, winnow_profile  # noqa: E402
+
+    docsdf = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " * 3) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    docsdf.write.mode("overwrite").parquet("/tmp/plan_docs")
+    docs_pq = spark.read.parquet("/tmp/plan_docs")
+    cap(
+        "Winnowing fingerprints: token + k-gram-hash arrays each materialized ONCE",
+        winnow_profile(docs_pq),
+        "Three stacked Projects (tokens -> hash stream -> window mins): the "
+        "tokenizer and the md5 stream appear exactly once each — an inline "
+        "expression would re-run per window element inside the interpreted "
+        "HOF lambda (the round-3 bigram lesson).",
+    )
+    cap(
+        "TF-IDF retrieval: term filter UNDER the explode, broadcast idf, "
+        "TakeOrderedAndProject top-k",
+        tfidf_topk(docs_pq, ["alpha", "beta"], k=5),
+        "Only query-term hits shuffle; idf is a DECIMAL-cast broadcast side; "
+        "the top-k never sorts the full score table.",
+    )
+
+    from valor_spark.operators.audio import audio_spectrum  # noqa: E402
+
+    cap(
+        "Audio spectrum: pruned 4-column scan -> ONE MapInArrow, zero shuffle",
+        audio_spectrum(pq),
+        "Hann rFFT + two-peak scan per clip inside the Arrow batch; "
+        "all-integer outputs, same scale shape as audio_profile.",
+    )
+
     hdr = (
         "# BENCH/PLANS.md — physical-plan evidence\n\n"
         "Captured `.explain` output (attribute ids normalized) for the plan\n"
