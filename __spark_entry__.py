@@ -886,6 +886,21 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectrum(clips)
 
 
+def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed audio dedup (operators/audio.py::
+    audio_dedup_groups): md5 over the DECODED int16 PCM — identity that
+    survives re-containering (raw pcm_s16le vs WAV of the same samples) —
+    grouped to (content_hash, n, first_clip_id) with one hash-agg.  The
+    fixture's planted exact-duplicate rows and the degenerate empty-PCM
+    strides form the expected groups (spec-derived oracle parquet)."""
+    from valor_spark.operators.audio import audio_dedup_groups
+    from valor_spark.sources.audio_fixture import build_audio_fixture
+
+    paths = build_audio_fixture(FIXTURE_DIR)
+    clips = spark.read.parquet(paths["clips"])
+    return audio_dedup_groups(clips)
+
+
 def q_stream_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming AUDIO in the graded gate: the fixture clips stream through
     profile_stream (audio_profile mapInArrow + quality rules per
@@ -1477,6 +1492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_docs_quality": q_val_docs_quality,
         "tfidf_topk": q_tfidf_topk,
         "stream_near_dup": q_stream_near_dup,
+        "audio_dedup": q_audio_dedup,
     }
 
 
@@ -1812,6 +1828,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_spectrum_fixture
 
     audio_spectrum_expected = build_audio_spectrum_fixture(FIXTURE_DIR)
+    from valor_spark.sources.audio_fixture import build_audio_dedup_fixture
+
+    audio_dedup_expected = build_audio_dedup_fixture(FIXTURE_DIR)
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
@@ -2086,6 +2105,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",
         "audio_segments": f"SELECT * FROM read_parquet('{audio_segments_expected}')",
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
+        "audio_dedup": f"SELECT * FROM read_parquet('{audio_dedup_expected}')",
         # stream execution, batch truth: the same spec-derived profile
         # parquet grades the streaming path
         "stream_audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",

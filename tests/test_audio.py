@@ -326,3 +326,29 @@ def test_audio_spectrum_flags_corrupted_clips(spark):
         (sep_corr if s.corrupted else sep_pure).append(imp)
     assert sep_pure and sep_corr
     assert max(sep_pure) < min(sep_corr), (max(sep_pure), min(sep_corr))
+
+
+def test_audio_content_hash_survives_recontainering(spark):
+    """The same samples as raw pcm_s16le and WAV-wrapped must produce the
+    SAME content hash (raw-byte dedup can never see this), and different
+    samples must not."""
+    pcm = (1000 * np.sin(2 * np.pi * 440 * np.arange(256) / 8000)).astype("<i2")
+    other = (pcm + 7).astype("<i2")
+    rows = [
+        ("raw", pcm.tobytes(), "pcm_s16le"),
+        ("wav", S.wrap_wav(pcm, 8000), "wav"),
+        ("oth", other.tobytes(), "pcm_s16le"),
+        ("bad", b"\x00", "pcm_s16le"),          # odd byte length
+        ("mp3", b"junk", "mp3"),                # unsupported codec
+    ]
+    df = spark.createDataFrame(rows, "clip_id string, bytes binary, codec string")
+    got = {r["clip_id"]: (r["content_hash"], r["decode_error"])
+           for r in A.audio_content_hash(df).collect()}
+    assert got["raw"][0] == got["wav"][0] is not None
+    assert got["oth"][0] not in (None, got["raw"][0])
+    assert got["bad"] == (None, "odd_byte_length")
+    assert got["mp3"][0] is None and got["mp3"][1].startswith("unsupported_codec")
+
+    groups = {r["content_hash"]: (r["n"], r["first_clip_id"])
+              for r in A.audio_dedup_groups(df).collect()}
+    assert groups == {got["raw"][0]: (2, "raw")}

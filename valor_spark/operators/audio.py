@@ -666,3 +666,75 @@ def audio_segments(
             )
 
     return sel.mapInArrow(gen, out_schema)
+
+
+def audio_content_hash(clips: DataFrame) -> DataFrame:
+    """Content-addressed payload identity: md5 over the DECODED int16 PCM
+    (canonical little-endian bytes), one ``mapInArrow`` pass over the
+    pruned ``(clip_id, bytes, codec)`` projection ->
+    ``(clip_id, content_hash, decode_error)``.
+
+    Hashing after decode — not the raw container bytes — makes identity
+    survive re-containering: the same samples stored as raw ``pcm_s16le``
+    and WAV-wrapped hash identically, which raw-byte dedup can never see.
+    Undecodable payloads carry a NULL hash plus the decode error.  Same
+    scale shape as :func:`audio_profile`: zero shuffle, zero-copy views,
+    output is (id, 32-hex, error) — KB-scale per million clips."""
+    sel = clips.select("clip_id", "bytes", "codec")
+    out_schema = "clip_id string, content_hash string, decode_error string"
+
+    def gen(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        for b in batches:
+            n = b.num_rows
+            get_bytes = _binary_views(b.column(1))
+            codecs = b.column(2).to_pylist()
+            hashes: list[str | None] = [None] * n
+            errors: list[str | None] = [None] * n
+            for i in range(n):
+                rw = get_bytes(i)
+                cod = codecs[i]
+                if rw is None:
+                    errors[i] = "null_bytes"
+                    continue
+                if cod == "pcm_s16le":
+                    if len(rw) % 2:
+                        errors[i] = "odd_byte_length"
+                        continue
+                    sig = rw.view("<i2")
+                else:
+                    sig, _rate, err = decode_one(rw.tobytes(), cod)
+                    if err is not None:
+                        errors[i] = err
+                        continue
+                hashes[i] = hashlib.md5(np.ascontiguousarray(sig, "<i2").tobytes()).hexdigest()
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0), pa.array(hashes, pa.string()), pa.array(errors, pa.string())],
+                schema=pa.schema(
+                    [b.schema.field(0), pa.field("content_hash", pa.string()),
+                     pa.field("decode_error", pa.string())]
+                ),
+            )
+
+    return sel.mapInArrow(gen, out_schema)
+
+
+def audio_dedup_groups(clips: DataFrame) -> DataFrame:
+    """Groups of clips with IDENTICAL decoded audio content:
+    ``(content_hash, n, first_clip_id)`` for every hash held by more than
+    one row — the storage-dedup scan for a 100 TB audio lake.  One
+    hash-aggregation over the 32-hex content hashes (map-side partial
+    combine); undecodable rows are excluded (their identity is unknown,
+    and NULL must not form a bogus mega-group)."""
+    hashes = audio_content_hash(clips).filter(F.col("content_hash").isNotNull())
+    return (
+        hashes.groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("clip_id").alias("first_clip_id"),
+        )
+        .filter(F.col("n") > 1)
+    )

@@ -400,3 +400,53 @@ def build_audio_spectrum_fixture(fixture_dir: str) -> str:
         path,
     )
     return path
+
+
+def build_audio_dedup_fixture(fixture_dir: str) -> str:
+    """Expected content-dedup groups ``(content_hash, n, first_clip_id)``
+    for the clips parquet — independent derivation: spec -> synth_pcm ->
+    md5 over the canonical int16 bytes, grouped in plain Python.  The
+    planted duplicate rows (id % DUP_STRIDE, exact copies of the previous
+    id's content under the SAME clip_id) and the degenerate all-empty-PCM
+    rows (bad sr/dur strides) form the groups."""
+    import hashlib
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = _fixture_tag()
+    path = os.path.join(fixture_dir, f"clips_audio_dedup_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    build_audio_fixture(fixture_dir)
+
+    groups: dict[str, list[str]] = defaultdict(list)
+    for sp in expected_clips(N_CLIPS, MAX_SAMPLES):
+        if sp.codec not in ("pcm_s16le", "wav"):
+            continue  # undecodable: identity unknown, excluded
+        pcm = S.synth_pcm(sp.g, sp.sr_hz, sp.dur_ms, MAX_SAMPLES, sp.corrupted)
+        if sp.truncated:
+            pcm = pcm[: len(pcm) // 2]
+        h = hashlib.md5(np.ascontiguousarray(pcm, "<i2").tobytes()).hexdigest()
+        groups[h].append(sp.clip_id)
+    for k in range(N_HEADER_MISMATCH):
+        pcm = np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2")
+        h = hashlib.md5(np.ascontiguousarray(pcm, "<i2").tobytes()).hexdigest()
+        groups[h].append(f"hdrmm_{k}")
+
+    rows = [
+        (h, len(ids), min(ids)) for h, ids in groups.items() if len(ids) > 1
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "content_hash": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "first_clip_id": pa.array([r[2] for r in rows], pa.string()),
+            }
+        ),
+        path,
+    )
+    return path
