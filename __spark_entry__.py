@@ -886,6 +886,21 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectrum(clips)
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (operators/multimodal.py::image_dhash_groups):
+    real BMP/PGM/PPM decode -> dHash (integer-index 8x9 nearest sample, 64
+    neighbor-comparison bits) -> hash-agg groups.  Resolution-independent:
+    the fixture's gradient family collides by design.  Oracle derives the
+    same groups from the SOURCE pixels (bytes -> decode -> hash vs spec ->
+    pixels -> hash)."""
+    from valor_spark.operators.multimodal import image_dhash_groups
+    from valor_spark.sources.image_fixture import build_image_fixture
+
+    paths = build_image_fixture(FIXTURE_DIR)
+    images = spark.read.parquet(paths["data"])
+    return image_dhash_groups(images)
+
+
 def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed audio dedup (operators/audio.py::
     audio_dedup_groups): md5 over the DECODED int16 PCM — identity that
@@ -1493,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "stream_near_dup": q_stream_near_dup,
         "audio_dedup": q_audio_dedup,
+        "image_dedup": q_image_dedup,
     }
 
 
@@ -1832,6 +1848,9 @@ def oracle_sql() -> dict[str, str]:
 
     audio_dedup_expected = build_audio_dedup_fixture(FIXTURE_DIR)
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.image_fixture import build_image_dhash_fixture
+
+    image_dhash_expected = build_image_dhash_fixture(FIXTURE_DIR)
     clips = f"read_parquet('{CLIPS_FIXTURE}')"
     allowed_sr = "(8000, 16000, 22050, 24000, 44100, 48000)"
     oracles = {
@@ -2106,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": f"SELECT * FROM read_parquet('{audio_segments_expected}')",
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
         "audio_dedup": f"SELECT * FROM read_parquet('{audio_dedup_expected}')",
+        "image_dedup": f"SELECT * FROM read_parquet('{image_dhash_expected}')",
         # stream execution, batch truth: the same spec-derived profile
         # parquet grades the streaming path
         "stream_audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",

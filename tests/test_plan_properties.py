@@ -97,6 +97,7 @@ def _unpartitioned_windows(plan: str) -> list[str]:
 # name -> why the bound holds (checked where mechanically possible)
 _BOUNDED_WINDOW_OK = {
     "top_bigrams": "window sits above a TakeOrderedAndProject limit(k)",
+    "tfidf_topk": "window sits above a TakeOrderedAndProject limit(k)",
     "ks_value_drift": "cumulative window over <= nbins(=20) histogram rows",
     "psi_event_types": "share windows over <= n_categories histogram rows",
 }
@@ -114,7 +115,7 @@ def test_driver_queries_have_no_unpartitioned_windows(spark):
         df = fn(spark, sf)
         bad = _unpartitioned_windows(plan_of(df))
         if name in _BOUNDED_WINDOW_OK:
-            if name == "top_bigrams":
+            if name in ("top_bigrams", "tfidf_topk"):
                 assert "TakeOrderedAndProject" in plan_of(df), (
                     f"{name}: bounded-window claim broken"
                 )

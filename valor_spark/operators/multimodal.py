@@ -275,3 +275,68 @@ def frame_sample_plan(df: DataFrame, n_frames_col: str, every_k: int) -> DataFra
             "frame_idx"
         ),
     )
+
+
+def dhash_hex(img: np.ndarray) -> str:
+    """Difference hash (dHash) of decoded pixels: grayscale, nearest-sample
+    to an 8x9 grid with pure integer index math ((i*dim)//target — no
+    float resize, so every engine lands on identical pixels), then one bit
+    per horizontal neighbor comparison -> 64 bits as 16 lowercase hex.
+    Perceptually identical images (any resolution) collide; unrelated ones
+    differ in ~32 bits."""
+    gray = img.mean(axis=2, dtype=np.float64)
+    h, w = gray.shape
+    ri = (np.arange(8) * h) // 8
+    ci = (np.arange(9) * w) // 9
+    m = gray[np.ix_(ri, ci)]
+    bits = (m[:, 1:] > m[:, :-1]).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return format(val, "016x")
+
+
+def image_dhash(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id") -> DataFrame:
+    """Perceptual image hashing over a binary column -> ``(id, dhash,
+    format, error)``: BMP/PGM/PPM payloads are really decoded and dHashed;
+    opaque/undecodable payloads carry a NULL hash (their pixels are
+    unknown — a fake hash would manufacture false duplicate groups).  Same
+    Arrow-batched shape as :func:`image_features`: no shuffle, the binary
+    column is read exactly once."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "id": pdf[id_col].astype("int64"),
+                "dhash": [None] * n,
+                "format": [None] * n,
+                "error": [None] * n,
+            }
+            for i, raw in enumerate(pdf[bytes_col]):
+                if raw is None:
+                    out["error"][i] = "null_bytes"
+                    continue
+                img, fmt, err = decode_image(bytes(raw))
+                out["format"][i] = fmt
+                if err is not None:
+                    out["error"][i] = err
+                elif img is not None:
+                    out["dhash"][i] = dhash_hex(img)
+            yield pd.DataFrame(out)
+
+    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+        gen, "id bigint, dhash string, format string, error string"
+    )
+
+
+def image_dhash_groups(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id") -> DataFrame:
+    """Perceptual-duplicate groups ``(dhash, n, first_id)`` — every dHash
+    held by more than one decodable image; one hash-agg over 16-hex keys
+    (map-side partial combine), NULL hashes excluded."""
+    hashes = image_dhash(df, bytes_col, id_col).filter(F.col("dhash").isNotNull())
+    return (
+        hashes.groupBy("dhash")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("id").alias("first_id"))
+        .filter(F.col("n") > 1)
+    )

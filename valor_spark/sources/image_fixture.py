@@ -160,3 +160,53 @@ def build_image_fixture(fixture_dir: str) -> dict[str, str]:
         paths["expected"],
     )
     return paths
+
+
+def build_image_dhash_fixture(fixture_dir: str) -> str:
+    """Expected perceptual-duplicate groups ``(dhash, n, first_id)`` —
+    spec-side mirror of operators/multimodal.py::dhash_hex over the SOURCE
+    pixel arrays (the gate decodes the encoded bytes; truncated and opaque
+    plants are excluded, their pixels being unknown to the engine too)."""
+    import hashlib as _hashlib
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = _hashlib.md5(
+        repr((FIXTURE_VERSION, N_IMAGES, "dhash")).encode()
+    ).hexdigest()[:8]
+    path = os.path.join(fixture_dir, f"images_dhash_{tag}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    groups: dict[str, list[int]] = defaultdict(list)
+    for i in range(N_IMAGES):
+        if i % 17 == 9 or i % 13 == 5:  # truncated / opaque plants
+            continue
+        img = _source_image(i)
+        img3 = img if img.ndim == 3 else img[:, :, None]
+        gray = img3.mean(axis=2, dtype=np.float64)
+        h, w = gray.shape
+        ri = (np.arange(8) * h) // 8
+        ci = (np.arange(9) * w) // 9
+        m = gray[np.ix_(ri, ci)]
+        bits = (m[:, 1:] > m[:, :-1]).flatten()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        groups[format(val, "016x")].append(i)
+
+    rows = [(hh, len(ids), min(ids)) for hh, ids in groups.items() if len(ids) > 1]
+    pq.write_table(
+        pa.table(
+            {
+                "dhash": pa.array([r[0] for r in rows], pa.string()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "first_id": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        path,
+    )
+    return path
