@@ -886,6 +886,49 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectrum(clips)
 
 
+def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data curation over documents — the composition a
+    pipeline user actually runs: Gopher-style quality filter (rule algebra
+    over doc_repetition integers) -> winnowing near-dup removal (drop the
+    higher id of every pair sharing >= 2 selected hashes) -> deterministic
+    per-source stratified sampling -> per-source manifest
+    ``(source, n_input, n_quality, n_deduped, n_sampled)``.  Every stage is
+    the already-gated operator; shuffles carry ids/hashes only; the final
+    aggregation is a handful of rows per source."""
+    from valor_spark.operators import sampling as SP
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = TX.doc_repetition(docs)
+    res = validate(feats, TX.doc_quality_rules(), key_cols=["doc_id"])
+    qdocs = docs.join(res.valid().select("doc_id"), on="doc_id")
+    pairs = TX.winnow_pairs(qdocs, min_shared=2)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = qdocs.join(drop, on="doc_id", how="left_anti")
+    sampled = SP.stratified_sample(
+        deduped, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id", seed="r3", default_fraction=0.1,
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    out = (
+        cnt(docs, "n_input")
+        .join(cnt(qdocs, "n_quality"), on="source", how="left")
+        .join(cnt(deduped, "n_deduped"), on="source", how="left")
+        .join(cnt(sampled, "n_sampled"), on="source", how="left")
+    )
+    return out.select(
+        "source",
+        "n_input",
+        F.coalesce("n_quality", F.lit(0)).cast("bigint").alias("n_quality"),
+        F.coalesce("n_deduped", F.lit(0)).cast("bigint").alias("n_deduped"),
+        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (operators/multimodal.py::image_dhash_groups):
     real BMP/PGM/PPM decode -> dHash (integer-index 8x9 nearest sample, 64
@@ -1509,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dup": q_stream_near_dup,
         "audio_dedup": q_audio_dedup,
         "image_dedup": q_image_dedup,
+        "docs_pipeline": q_docs_pipeline,
     }
 
 
@@ -1551,14 +1595,16 @@ def _sql_doc_features() -> str:
             )"""
 
 
-def _sql_winnow_cte(k: int = 4, w: int = 4) -> str:
+def _sql_winnow_cte(k: int = 4, w: int = 4, src: str = "documents",
+                    lead: str = "WITH") -> str:
     """CTE chain ending in ``win(doc_id, kh, fp)``: rolling k-token-gram
     16-hex md5 stream, then winnowing min-per-w-window selection (matches
     operators/text.py::kgram_hashes_t/winnow_t — DuckDB's ``kh[j:j+n]``
-    slice clamps at the array end exactly like Spark's ``slice``)."""
+    slice clamps at the array end exactly like Spark's ``slice``).
+    ``src``/``lead`` let the chain compose mid-WITH over a prior CTE."""
     toks = _SQL_TOKENS.format(col="text")
     return f"""
-            WITH toksw AS (SELECT doc_id, {toks} AS t FROM documents),
+            {lead} toksw AS (SELECT doc_id, {toks} AS t FROM {src}),
             khs AS (
               SELECT doc_id,
                 CASE WHEN len(t) < {k} THEN []::VARCHAR[]
@@ -2195,6 +2241,54 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'word_length', 'WordsTooLong'
             FROM feats WHERE n_tokens > 0 AND sum_token_chars * 10 > n_tokens * 100
+        """,
+        "docs_pipeline": f"""
+            {_sql_doc_features()},
+            quality AS (
+              SELECT doc_id FROM feats
+              WHERE NOT (n_tokens < 15)
+                AND NOT (n_tokens > 0 AND n_distinct_tokens * 1000 < n_tokens * 600)
+                AND NOT (n_tokens > 0 AND sum_token_chars * 10 < n_tokens * 30)
+                AND NOT (n_tokens > 0 AND sum_token_chars * 10 > n_tokens * 100)
+            ),
+            qdocs AS (SELECT d.* FROM documents d JOIN quality USING (doc_id)),
+            {_sql_winnow_cte(src="qdocs", lead="")}
+            ,
+            fpp AS (SELECT doc_id AS doc, unnest(fp) AS fp FROM win),
+            freqp AS (SELECT fp FROM fpp GROUP BY fp HAVING COUNT(*) <= 50),
+            rarep AS (SELECT f.* FROM fpp f JOIN freqp USING (fp)),
+            dropids AS (
+              SELECT DISTINCT b.doc AS doc_id
+              FROM rarep a JOIN rarep b USING (fp)
+              WHERE a.doc < b.doc
+              GROUP BY a.doc, b.doc HAVING COUNT(*) >= 2
+            ),
+            dedup AS (
+              SELECT * FROM qdocs
+              WHERE doc_id NOT IN (SELECT doc_id FROM dropids)
+            ),
+            sampled AS (
+              SELECT * FROM (
+                SELECT *, substring(md5(COALESCE(CAST(doc_id AS VARCHAR), '') || ':r3'), 1, 8) AS b
+                FROM dedup
+              )
+              WHERE CASE source
+                      WHEN 'src0' THEN TRUE
+                      WHEN 'src1' THEN b < '80000000'
+                      WHEN 'src2' THEN b < '40000000'
+                      ELSE b < '19999999'
+                    END
+            ),
+            i AS (SELECT source, COUNT(*)::BIGINT AS n_input FROM documents GROUP BY source),
+            qc AS (SELECT source, COUNT(*)::BIGINT AS n_quality FROM qdocs GROUP BY source),
+            dc AS (SELECT source, COUNT(*)::BIGINT AS n_deduped FROM dedup GROUP BY source),
+            sc AS (SELECT source, COUNT(*)::BIGINT AS n_sampled FROM sampled GROUP BY source)
+            SELECT source, n_input,
+                   COALESCE(n_quality, 0) AS n_quality,
+                   COALESCE(n_deduped, 0) AS n_deduped,
+                   COALESCE(n_sampled, 0) AS n_sampled
+            FROM i LEFT JOIN qc USING (source) LEFT JOIN dc USING (source)
+                   LEFT JOIN sc USING (source)
         """,
         "winnow_docs": f"""
             {_sql_winnow_cte()}

@@ -79,6 +79,7 @@ HEADLINE = [
     "doc_repetition",
     "val_docs_quality",
     "tfidf_topk",
+    "docs_pipeline",
 ]
 
 
@@ -436,6 +437,8 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "| shard-clustered checkpoint writes (round 4): write_violations repartitions on the partition column before partitionBy, so each shard's rows land in ONE task -> one file per shard dir | gate-shaped violations (3.7k rows, 64 shards, written from 32 tasks): 1,718 files -> 64 files (27x) AND write wall 8.35 -> 1.36 s; removes most of the ~1s audio-stage overhead the shard-granular resume added in round 3, and at 100 TB / O(10^5) shards avoids a small-file storm on the manifest store |",
         "| negative-shard intake guard folded into the fingerprint aggregate (round 4): the guard probes the persisted 1-row-per-shard frame (new raw_min column distinguishes real negatives from NULL->UNSHARDED coalescing) instead of its own full scan of the shard column | one fewer Spark job per run_pipeline call; guard semantics unchanged (real negative raises, NULL-shard rows stay tolerated+revalidated — pytest intake tests green) |",
         "| tokenize-once bigrams_t/shingles_t (round 4): token array materialized in a lower Project at every call site (top_bigrams, bigram_rarity, ngram_contamination) instead of inline inside the HOF lambda — HOFs are CodegenFallback (interpreted), so the inline form re-ran the tokenizer twice per bigram element, O(tokens^2)/doc | sf0.1 bigram explode+count: 9.71 -> 0.71 s (13.5x); optimized plan now contains exactly ONE split() tokenizer; gap grows quadratically with document length, so this was a scale-killer on multi-kilotoken web docs; oracle hashes unchanged (top_bigrams, bigram_rarity, contamination green) |",
+        "| winnow_pairs scale check (round 4): 60-token docs, 2000-word vocab, every 10th doc a near-dup of its predecessor | N=5k: 3.1 s, 499 pairs; N=50k: 10.5 s, 4,999 pairs — 10x corpus costs 3.4x wall (the self-join carries only the 1/w-sampled selected hashes), and recall on the planted near-dups is exact at both sizes (n/10 - 1); winnow_profile itself is flat ~2 s (pure map work across 32 threads) |",
+        "| audio_spectrum throughput (round 4): 120k clips x 2048-sample payloads, decode + Hann rFFT + two-peak scan in one mapInArrow pass | 5.3-6.0 s total = ~20-22k clips/s at local[32]; zero shuffle, so the scale-out path is the same as audio_profile's (per-executor bandwidth, no exchange) |",
         "",
         "Run-to-run variance on this shared sandbox is substantial (same",
         "config measured 0.57-0.95 across a session depending on page-cache",

@@ -795,3 +795,39 @@ def test_image_dhash_resolution_invariant(spark):
     # unit: dhash_hex matches a hand-rolled bit build on a tiny image
     img = np.stack([checker(8, 9)] * 1, axis=2)
     assert len(dhash_hex(img)) == 16
+
+
+def test_docs_pipeline_stage_counts(spark):
+    """End-to-end curation composition: quality filter drops the junk doc,
+    winnow dedup drops the higher-id near-duplicate, sampling at fraction
+    1.0 keeps the rest — per-source manifest counts verify each stage."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " \
+           "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = [
+        (0, base + " uniquely continued here", "srcA"),
+        (1, base + " uniquely continued here today", "srcA"),  # near-dup of 0
+        (2, "short junk", "srcA"),                             # fails min_tokens
+        (3, " ".join(f"word{i:02d}" for i in range(30)), "srcB"),  # clean, no dup
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+    from valor_spark.operators import sampling as SP
+    from valor_spark.operators import text as TX
+    from valor_spark.plans.engine import validate
+
+    feats = TX.doc_repetition(docs)
+    res = validate(feats, TX.doc_quality_rules(), key_cols=["doc_id"])
+    qdocs = docs.join(res.valid().select("doc_id"), on="doc_id")
+    pairs = TX.winnow_pairs(qdocs, min_shared=2)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = qdocs.join(drop, on="doc_id", how="left_anti")
+    sampled = SP.stratified_sample(
+        deduped, "source", {"srcA": 1.0, "srcB": 1.0}, "doc_id"
+    )
+
+    assert {r["doc_id"] for r in qdocs.select("doc_id").collect()} == {0, 1, 3}
+    assert {r["doc_id"] for r in deduped.select("doc_id").collect()} == {0, 3}
+    assert {r["doc_id"] for r in sampled.select("doc_id").collect()} == {0, 3}
