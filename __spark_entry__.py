@@ -886,6 +886,28 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectrum(clips)
 
 
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square categorical drift (operators/drift.py::chi2_df)
+    between the even/odd user halves of events.event_type — the
+    expected-count-weighted complement of PSI; integer counts in, one
+    rounded float out."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("user_id") % 2 == 0)
+    base = ev.filter(F.col("user_id") % 2 == 1)
+    return DR.chi2_df(obs, base, "event_type")
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation with representation-stable arithmetic
+    (operators/constraints.py::corr_stats): moment sums accumulate as
+    exact decimals, r derives in ONE double expression — unlike built-in
+    corr(), hash-stable under any partitioning."""
+    from valor_spark.operators.constraints import corr_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_stats(li, "l_quantity", "l_extendedprice", "l_returnflag")
+
+
 def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END training-data curation over documents — the composition a
     pipeline user actually runs: Gopher-style quality filter (rule algebra
@@ -1553,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup": q_audio_dedup,
         "image_dedup": q_image_dedup,
         "docs_pipeline": q_docs_pipeline,
+        "chi2_drift": q_chi2_drift,
+        "corr_stats": q_corr_stats,
     }
 
 
@@ -2074,6 +2098,55 @@ def oracle_sql() -> dict[str, str]:
                  FROM op FULL OUTER JOIN bq USING (k)
                )
             SELECT ROUND(SUM((p - q) * LN(p / q)), 6) AS psi FROM j
+        """,
+        "chi2_drift": """
+            WITH o AS (
+              SELECT event_type AS k, COUNT(*)::DOUBLE AS n_o FROM events
+              WHERE user_id % 2 = 0 GROUP BY 1
+            ), b AS (
+              SELECT event_type AS k, COUNT(*)::DOUBLE AS n_b FROM events
+              WHERE user_id % 2 = 1 GROUP BY 1
+            ),
+            j AS (
+              SELECT COALESCE(n_o, 0) AS n_o, COALESCE(n_b, 0) AS n_b
+              FROM o FULL OUTER JOIN b USING (k)
+            ),
+            t AS (
+              SELECT n_o,
+                     GREATEST(n_b / (SELECT SUM(n_b) FROM j), 1e-9)
+                       * (SELECT SUM(n_o) FROM j) AS exp
+              FROM j
+            )
+            SELECT ROUND(SUM((n_o - exp) * (n_o - exp) / exp), 6) AS chi2,
+                   (COUNT(*) - 1)::BIGINT AS dof
+            FROM t
+        """,
+        # moment sums as exact decimals, r derived in one double expression
+        # (the col_stats float-stability discipline; built-in corr() is
+        # accumulation-order-dependent)
+        "corr_stats": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     COUNT(*)::BIGINT AS n,
+                     SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sx,
+                     SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS sy,
+                     SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS sxy,
+                     SUM(CAST(l_quantity AS DECIMAL(28,6)) * CAST(l_quantity AS DECIMAL(28,6))) AS sxx,
+                     SUM(CAST(l_extendedprice AS DECIMAL(28,6)) * CAST(l_extendedprice AS DECIMAL(28,6))) AS syy
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n,
+                   CASE WHEN n >= 2
+                         AND n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0
+                         AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0
+                        THEN ROUND(
+                          (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                          / SQRT((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                                 * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+                   END AS corr
+            FROM s
         """,
         "ks_value_drift": """
             WITH o AS (

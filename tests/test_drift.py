@@ -113,3 +113,46 @@ def test_psi_drift_string_categorical_baseline(spark):
     # drift_report path decodes the same way
     rep = D.drift_report(skewed, baseline, categorical={"codec": dict(threshold=0.01)})
     assert rep[0].metric == "psi" and abs(rep[0].value - drifted.value) < 1e-12
+
+
+def test_chi2_df_hand_computed(spark):
+    from valor_spark.operators.drift import chi2_df
+
+    obs = spark.createDataFrame([("a",)] * 30 + [("b",)] * 10, "k string")
+    base = spark.createDataFrame([("a",)] * 20 + [("b",)] * 20, "k string")
+    row = chi2_df(obs, base, "k").collect()[0]
+    # expected counts: a 20, b 20; chi2 = (30-20)^2/20 + (10-20)^2/20 = 10.0
+    assert row["chi2"] == 10.0 and row["dof"] == 1
+
+    # identical distributions -> 0; category missing from base -> finite
+    same = chi2_df(obs, obs, "k").collect()[0]
+    assert same["chi2"] == 0.0
+    novel = spark.createDataFrame([("zzz",)] * 5, "k string")
+    v = chi2_df(novel, base, "k").collect()[0]
+    assert v["chi2"] > 1e6  # epsilon-share expected count -> huge penalty
+
+
+def test_corr_stats_matches_numpy_and_is_partition_stable(spark):
+    import numpy as np
+
+    from valor_spark.operators.constraints import corr_stats
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(1, 50, 400).astype(float)
+    ys = 3.0 * xs + rng.normal(0, 10, 400).round(3)
+    rows = [("g1", float(x), float(y)) for x, y in zip(xs, ys)]
+    rows += [("flat", 5.0, float(i)) for i in range(10)]   # zero x-variance
+    rows += [("tiny", 1.0, 2.0)]                           # n < 2
+    df = spark.createDataFrame(rows, "grp string, x double, y double")
+
+    want = round(float(np.corrcoef(xs, ys)[0, 1]), 6)
+    for parts in (2, 16):
+        got = {
+            r["grp"]: (r["n"], r["corr"])
+            for r in corr_stats(
+                df.repartition(parts), "x", "y", "grp"
+            ).collect()
+        }
+        assert abs(got["g1"][1] - want) <= 1e-6, got["g1"]
+        assert got["flat"][1] is None
+        assert got["tiny"] == (1, None)

@@ -217,3 +217,45 @@ def referential_violations(
         )
     )
     return orphans.unionByName(dangling)
+
+
+def corr_stats(
+    df: DataFrame, x_col: str, y_col: str, group_col: str, round_to: int = 6
+) -> DataFrame:
+    """Per-group Pearson correlation with REPRESENTATION-STABLE arithmetic
+    (the column_stats discipline): the five moment sums accumulate as
+    EXACT decimals (order-independent under any partitioning), then
+    ``r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))`` is ONE
+    double expression over those exact inputs — identical on every engine
+    and at every parallelism.  Built-in ``F.corr`` accumulates floats in
+    partition order and is NOT hash-stable; this is.  Returns
+    ``(group, n, corr)`` with NULL corr for degenerate (zero-variance or
+    n<2) groups."""
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    g = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return g.select(
+        group_col,
+        F.col("n").cast("bigint").alias("n"),
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), round_to),
+        ).alias("corr"),
+    )

@@ -329,3 +329,42 @@ def baseline_from(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def chi2_df(obs: DataFrame, base: DataFrame, col: str, round_to: int = 6) -> DataFrame:
+    """Pearson chi-square drift statistic between two DataFrames'
+    categorical distributions of ``col``, entirely as DataFrame ops — one
+    row ``(chi2, dof)``.  Complements :func:`psi_df` (PSI weights by share
+    delta; chi-square weights by expected count, so small-expected
+    categories surface).  Expected counts derive from the baseline's share
+    of each category scaled to the observed total; categories absent from
+    the baseline get the epsilon share (finite penalty, same clamping
+    policy as PSI).  All inputs to the float expression are exact integer
+    counts, so the only float nondeterminism is the final <=#categories-row
+    sum — rounded like psi_df."""
+    o = obs.groupBy(F.col(col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    b = base.groupBy(F.col(col).cast("string").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    j = (
+        o.join(b, on="k", how="full_outer")
+        .select(
+            F.coalesce("n_o", F.lit(0)).cast("double").alias("n_o"),
+            F.coalesce("n_b", F.lit(0)).cast("double").alias("n_b"),
+        )
+        .withColumn("tot_o", F.sum("n_o").over(Window.partitionBy()))
+        .withColumn("tot_b", F.sum("n_b").over(Window.partitionBy()))
+        .select(
+            "n_o",
+            (F.greatest(F.col("n_b") / F.col("tot_b"), F.lit(EPS)) * F.col("tot_o")).alias("exp"),
+        )
+    )
+    return j.agg(
+        F.round(
+            F.sum((F.col("n_o") - F.col("exp")) * (F.col("n_o") - F.col("exp")) / F.col("exp")),
+            round_to,
+        ).alias("chi2"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("dof"),
+    )
