@@ -1566,8 +1566,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "value_histogram": q_value_histogram,
         "orders_by_month": q_orders_by_month,
-        # ---- round-4 late additions (tail this round; rotate into the
-        # graded window next round) ---------------------------------------
+        # ---- round-4 late additions (tail this round — the window was
+        # already full; ROUND 5: rotate ALL NINE of these into the graded
+        # window in place of nine r04-graded stable rows) ------------------
         "doc_repetition": q_doc_repetition,
         "val_docs_quality": q_val_docs_quality,
         "tfidf_topk": q_tfidf_topk,
