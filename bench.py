@@ -451,6 +451,8 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "| winnow_pairs scale check (round 4): 60-token docs, 2000-word vocab, every 10th doc a near-dup of its predecessor | N=5k: 3.1 s, 499 pairs; N=50k: 10.5 s, 4,999 pairs — 10x corpus costs 3.4x wall (the self-join carries only the 1/w-sampled selected hashes), and recall on the planted near-dups is exact at both sizes (n/10 - 1); winnow_profile itself is flat ~2 s (pure map work across 32 threads) |",
         "| audio_spectrum throughput (round 4): 120k clips x 2048-sample payloads, decode + Hann rFFT + two-peak scan in one mapInArrow pass | 5.3-6.0 s total = ~20-22k clips/s at local[32]; zero shuffle, so the scale-out path is the same as audio_profile's (per-executor bandwidth, no exchange) |",
         "",
+        "| streaming_near_dup state stress (round 4): 50k docs through applyInPandasWithState in 2 micro-batches | 97 s wall carrying 998k live state keys (one per distinct selected fingerprint) and 111k hit rows vs 11.3 s for the batch winnow_pairs on the same corpus — the 8.6x premium is per-key state maintenance on mostly-singleton fingerprints, which is why the operator exposes ttl_ms: at real ingest the state spans a dedup WINDOW, not all-time fingerprint cardinality (the batch operator remains the right tool for full-corpus sweeps) |",
+        "",
         "## Session variance (round 4, measured)",
         "",
         "Identical 24M-clip children re-run across one session on this",
