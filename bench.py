@@ -453,6 +453,8 @@ def write_baseline_md(results: dict, report: dict) -> None:
         "",
         "| streaming_near_dup state stress (round 4): 50k docs through applyInPandasWithState in 2 micro-batches | 97 s wall carrying 998k live state keys (one per distinct selected fingerprint) and 111k hit rows vs 11.3 s for the batch winnow_pairs on the same corpus — the 8.6x premium is per-key state maintenance on mostly-singleton fingerprints, which is why the operator exposes ttl_ms: at real ingest the state spans a dedup WINDOW, not all-time fingerprint cardinality (the batch operator remains the right tool for full-corpus sweeps) |",
         "",
+        "| docs_pipeline scale check (round 4): the full quality->winnow-dedup->sample composition on synthetic 60-token docs | N=5k: 12.2 s; N=50k: 16.2 s — 10x corpus costs 1.33x wall (per-doc work is narrow-Project + hash-sampled self-join; the flat component is per-query planning and the handful of small shuffles), keeping ~40% of docs at both sizes |",
+        "",
         "## Session variance (round 4, measured)",
         "",
         "Identical 24M-clip children re-run across one session on this",
