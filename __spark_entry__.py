@@ -993,18 +993,33 @@ def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source stratified sampling -> per-source manifest
     ``(source, n_input, n_quality, n_deduped, n_sampled)``.  Every stage is
     the already-gated operator; shuffles carry ids/hashes only; the final
-    aggregation is a handful of rows per source."""
+    aggregation is a handful of rows per source.
+
+    The expensive subtrees run ONCE: the quality chain (full-corpus
+    tokenization) and the winnow self-join each materialize to an id-only
+    localCheckpoint (the dedup.py CC pattern), so the four manifest counts
+    aggregate slim (doc_id, source) frames instead of re-deriving the
+    chain per count — at 10^12 docs the winnow join is the dominant stage
+    and must not execute twice for bookkeeping."""
     from valor_spark.operators import sampling as SP
 
     docs = _t(spark, sf_dir, "documents")
     feats = TX.doc_repetition(docs)
     res = validate(feats, TX.doc_quality_rules(), key_cols=["doc_id"])
-    qdocs = docs.join(res.valid().select("doc_id"), on="doc_id")
+    # id-only materializations: quality survivors, then winnow drop set
+    valid_ids = res.valid().select("doc_id").localCheckpoint()
+    qdocs = docs.join(valid_ids, on="doc_id")
     pairs = TX.winnow_pairs(qdocs, min_shared=2)
-    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    deduped = qdocs.join(drop, on="doc_id", how="left_anti")
-    sampled = SP.stratified_sample(
-        deduped, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+    drop = (
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
+    )
+    # slim (doc_id, source) frames for counting; the sampler is a pure
+    # deterministic filter so it composes over the slim frame unchanged
+    slim = docs.select("doc_id", "source")
+    qslim = slim.join(valid_ids, on="doc_id")
+    dslim = qslim.join(drop, on="doc_id", how="left_anti")
+    sslim = SP.stratified_sample(
+        dslim, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
         "doc_id", seed="r3", default_fraction=0.1,
     )
 
@@ -1014,10 +1029,10 @@ def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = (
-        cnt(docs, "n_input")
-        .join(cnt(qdocs, "n_quality"), on="source", how="left")
-        .join(cnt(deduped, "n_deduped"), on="source", how="left")
-        .join(cnt(sampled, "n_sampled"), on="source", how="left")
+        cnt(slim, "n_input")
+        .join(cnt(qslim, "n_quality"), on="source", how="left")
+        .join(cnt(dslim, "n_deduped"), on="source", how="left")
+        .join(cnt(sslim, "n_sampled"), on="source", how="left")
     )
     return out.select(
         "source",
@@ -1381,16 +1396,20 @@ def q_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.extend(batch_df.collect())
 
     ckpt = tempfile.mkdtemp(prefix="gate_stream_neardup_ckpt_")
+    # drain_query, NOT trigger(availableNow)/processAllAvailable: with a
+    # finite state TTL (the safe default) the engine keeps scheduling
+    # no-data batches to service pending ProcessingTimeTimeouts, so both
+    # hang forever (measured: Spark 4.1).
+    from valor_spark.streaming.validate_stream import drain_query
+
+    n_docs = spark.read.parquet(src).count()
     q = (
         streaming_near_dup(stream)
         .writeStream.foreachBatch(on_batch)
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_near_dup: StreamingQuery did not finish in 300s")
+    drain_query(q, expected_input_rows=n_docs)
     hit_df = spark.createDataFrame(
         [(r["doc_a"], r["doc_b"]) for r in hits] or [], "doc_a bigint, doc_b bigint"
     )
@@ -1574,7 +1593,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     graded window (val_speech_rate, winnow_docs, winnow_pairs,
     audio_spectrum, stream_drift) and rotates five more r03-greens out
     (region_acctbal, except_all, rollup_orders, pricing_summary,
-    top2_orders_per_cust).  Across rounds every operator therefore has an
+    top2_orders_per_cust).  Round 5 rotates the TEN round-4 late additions
+    (doc_repetition, val_docs_quality, tfidf_topk, stream_near_dup,
+    audio_dedup, image_dedup, docs_pipeline, chi2_drift, corr_stats,
+    stream_windowed_counts) into the graded window in place of ten
+    r04-graded stable rows (percentiles, event_sessions, ks_value_drift,
+    redact_docs, token_stats_by_source, lsh_buckets, ngram_jaccard,
+    embedding_near_dup, audio_segments, frame_sample — every one green in
+    CORRECTNESS_r04).  Across rounds every operator therefore has an
     authoritative green driver row; the local selfcheck still verifies all
     entries each run."""
     return {
@@ -1584,19 +1610,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_clips": q_val_clips,
         "uniq_custkeys": q_uniq_custkeys,
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
-        "percentiles": q_percentiles,
         "customers_without_orders": q_customers_without_orders,
         "col_stats": q_col_stats,
         "events_first_per_user_type": q_events_first_per_user_type,
-        "event_sessions": q_event_sessions,
         "psi_event_types": q_psi_event_types,
-        "ks_value_drift": q_ks_value_drift,
         "stream_drift": q_stream_drift,
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
-        "token_stats_by_source": q_token_stats_by_source,
         "simhash_docs": q_simhash_docs,
-        "redact_docs": q_redact_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cosine_topk": q_cosine_topk,
         "val_speech_rate": q_val_speech_rate,
@@ -1607,12 +1628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_validate": q_stream_validate,
         "val_audio": q_val_audio,
         "audio_profile": q_audio_profile,
-        "audio_segments": q_audio_segments,
         "audio_spectrum": q_audio_spectrum,
         "stream_audio_profile": q_stream_audio_profile,
-        "lsh_buckets": q_lsh_buckets,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_near_dup": q_embedding_near_dup,
         "top_bigrams": q_top_bigrams,
         "image_stats": q_image_stats,
         "val_applications": q_val_applications,
@@ -1627,9 +1644,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_events": q_interval_events,
         "cosine_topk_lsh": q_cosine_topk_lsh,
         "knn_graph": q_knn_graph,
-        "frame_sample": q_frame_sample,
         "dup_clusters_alt": q_dup_clusters_alt,
-        # ---- rotated tail (graded green in CORRECTNESS_r03) -------------
+        # ---- round-4 late additions, rotated INTO the graded window -----
+        "doc_repetition": q_doc_repetition,
+        "val_docs_quality": q_val_docs_quality,
+        "tfidf_topk": q_tfidf_topk,
+        "stream_near_dup": q_stream_near_dup,
+        "audio_dedup": q_audio_dedup,
+        "image_dedup": q_image_dedup,
+        "docs_pipeline": q_docs_pipeline,
+        "chi2_drift": q_chi2_drift,
+        "corr_stats": q_corr_stats,
+        "stream_windowed_counts": q_stream_windowed_counts,
+        # ---- rotated tail (every row below is driver-green in r01-r04) --
+        "percentiles": q_percentiles,
+        "event_sessions": q_event_sessions,
+        "ks_value_drift": q_ks_value_drift,
+        "redact_docs": q_redact_docs,
+        "token_stats_by_source": q_token_stats_by_source,
+        "lsh_buckets": q_lsh_buckets,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_near_dup": q_embedding_near_dup,
+        "audio_segments": q_audio_segments,
+        "frame_sample": q_frame_sample,
         "pricing_summary": q_pricing_summary,
         "top2_orders_per_cust": q_top2_orders_per_cust,
         "region_acctbal": q_region_acctbal,
@@ -1643,19 +1680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "value_histogram": q_value_histogram,
         "orders_by_month": q_orders_by_month,
-        # ---- round-4 late additions (tail this round — the window was
-        # already full; ROUND 5: rotate ALL TEN of these into the graded
-        # window in place of ten r04-graded stable rows) -------------------
-        "doc_repetition": q_doc_repetition,
-        "val_docs_quality": q_val_docs_quality,
-        "tfidf_topk": q_tfidf_topk,
-        "stream_near_dup": q_stream_near_dup,
-        "audio_dedup": q_audio_dedup,
-        "image_dedup": q_image_dedup,
-        "docs_pipeline": q_docs_pipeline,
-        "chi2_drift": q_chi2_drift,
-        "corr_stats": q_corr_stats,
-        "stream_windowed_counts": q_stream_windowed_counts,
     }
 
 

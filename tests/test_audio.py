@@ -306,6 +306,48 @@ def test_spectral_ints_unit():
     assert A.spectral_ints(pure, 0) == (m, 0, 0, 0, 0)
 
 
+def test_spectrum_dom_hz_matches_synth_spec_analytically(tmp_path):
+    """ANALYTIC guard on the spectrum oracle: the gate fixture's expected
+    dom_hz must sit within one FFT bin of the synth spec's closed-form tone
+    frequency (synthetic.py: freq = 100 + g % 400) — no FFT runs on the
+    checking side.  This is what keeps the honestly-shared derivation in
+    audio_fixture._spectrum_for (which imports the engine's spectral_ints)
+    from letting a shared spectral-arithmetic bug slip through the oracle
+    gate."""
+    import pyarrow.parquet as pq
+
+    from valor_spark.sources import audio_fixture as AF
+
+    path = AF.build_audio_spectrum_fixture(str(tmp_path))
+    rows = pq.read_table(path).to_pylist()
+    by_clip = {}
+    for s in AF.expected_clips(AF.N_CLIPS, AF.MAX_SAMPLES):
+        by_clip.setdefault(s.clip_id, s)  # hot key: first spec wins? skip dups below
+    checked = 0
+    for r in rows:
+        s = by_clip.get(r["clip_id"])
+        if (
+            s is None
+            or r["decode_error"] is not None
+            or s.corrupted
+            or s.truncated
+            or s.is_hot
+            or s.is_dup
+            or s.sr_hz <= 0
+            or r["n_samples"] < 32
+        ):
+            continue
+        freq = 100.0 + (s.g % 400)
+        bin_hz = s.sr_hz / r["n_samples"]
+        if freq >= s.sr_hz / 2 - bin_hz:  # too close to Nyquist to resolve
+            continue
+        assert abs(r["dom_hz"] - freq) <= bin_hz + 0.5, (
+            r["clip_id"], r["dom_hz"], freq, bin_hz
+        )
+        checked += 1
+    assert checked > 500, checked  # the guard must actually cover the corpus
+
+
 def test_audio_spectrum_flags_corrupted_clips(spark):
     """The planted second tone (0.1 amplitude vs 0.4) must raise
     impurity_milli well above the pure clips' leakage floor wherever the

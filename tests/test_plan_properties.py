@@ -103,15 +103,29 @@ _BOUNDED_WINDOW_OK = {
 }
 
 
+# gate queries that EXECUTE a full StreamingQuery just to build their
+# result frame — their returned DataFrames are locally-created (collected
+# micro-batch output) and carry no window info, so sweeping them buys
+# nothing and costs minutes of wall per query
+_STREAMING_GATE_QUERIES = {
+    "stream_validate", "stream_drift", "stream_audio_profile",
+    "stream_near_dup", "stream_windowed_counts",
+}
+
+
 def test_driver_queries_have_no_unpartitioned_windows(spark):
     """Sweep every driver-gate query plan: any Window without partition keys
     funnels the whole input through ONE task — a scale-killer at 100x —
     unless its input is provably bounded (post-aggregation bins/top-k).
-    (Planning only; nothing executes.)"""
+    (Planning only; nothing executes — streaming gate queries, which would
+    run real StreamingQueries to produce a plan-less local frame, are
+    skipped.)"""
     import __spark_entry__ as entry
 
     sf = "/root/testdata/sf0.001"
     for name, fn in entry.queries().items():
+        if name in _STREAMING_GATE_QUERIES:
+            continue
         df = fn(spark, sf)
         bad = _unpartitioned_windows(plan_of(df))
         if name in _BOUNDED_WINDOW_OK:

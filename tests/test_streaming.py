@@ -190,32 +190,39 @@ def test_streaming_uniqueness_state_ttl_evicts(spark, tmp_path_factory):
         .option("latestFirst", "false")
         .parquet(f"{src}/f*")
     )
+    # drain_query, NOT trigger(availableNow) or processAllAvailable: with a
+    # finite TTL the engine schedules no-data batches forever to service
+    # pending ProcessingTimeTimeouts, so BOTH hang (Spark 4.1, measured) —
+    # the old awaitTermination(120) here was silently burning the full
+    # 120 s and leaking a running query.
+    from valor_spark.streaming.validate_stream import drain_query
+
     q = (
         streaming_duplicate_clips(stream, ttl_ms=1)
         .writeStream.format("memory")
         .queryName("ttldups")
         .outputMode("append")
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain_query(q, expected_input_rows=3)
     rows = spark.sql("select * from ttldups").collect()
     # with eviction between b1 and b3, 'a' never reaches n=2
     assert rows == [], [tuple(r) for r in rows]
 
     # control: same input WITHOUT ttl keeps state -> 'a' flagged at n=2
     ckpt2 = str(tmp_path_factory.mktemp("ttlckpt2"))
+    # ttl=None => NoTimeout => no no-data batches are ever scheduled, so
+    # settle_batches must be 0 (there is no "one more batch" to wait for)
     q2 = (
         streaming_duplicate_clips(stream)
         .writeStream.format("memory")
         .queryName("ttldups_ctl")
         .outputMode("append")
         .option("checkpointLocation", ckpt2)
-        .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    drain_query(q2, expected_input_rows=3, settle_batches=0)
     ctl = {
         (r["clip_id"], r["n_seen"]) for r in spark.sql("select * from ttldups_ctl").collect()
     }
@@ -354,14 +361,17 @@ def test_streaming_near_dup_matches_batch_winnow_pairs(spark, tmp_path_factory):
     )
     hits: list = []
     ckpt = str(tmp_path_factory.mktemp("nd_ckpt"))
+    # default (finite TTL) => ProcessingTimeTimeout => availableNow and
+    # processAllAvailable both hang; drain by progress instead
+    from valor_spark.streaming.validate_stream import drain_query
+
     q = (
         streaming_near_dup(stream)
         .writeStream.foreachBatch(lambda b, _i: hits.extend(b.collect()))
         .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(120)
+    drain_query(q, expected_input_rows=4)
 
     from collections import Counter
 
@@ -375,3 +385,85 @@ def test_streaming_near_dup_matches_batch_winnow_pairs(spark, tmp_path_factory):
     # the cross-batch pair (0,1) specifically must exist — the stateful
     # operator's reason to exist
     assert (0, 1) in got
+
+
+def test_streaming_near_dup_ttl_evicts(spark, tmp_path_factory):
+    """State-TTL on the near-dup operator: a fingerprint idle past the TTL
+    is evicted, so a later holder of the same fingerprint emits NO
+    cross-batch pair (same protocol as the uniqueness TTL test: middle
+    batch with an unrelated doc lets the timeout fire)."""
+    from valor_spark.streaming.validate_stream import streaming_near_dup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    flat = str(tmp_path_factory.mktemp("ndttl_src"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    batches = [
+        ("f1.parquet", [(0, f"{shared} first arrival")]),
+        ("f2.parquet", [(9, "totally unrelated filler words go here now")]),
+        ("f3.parquet", [(1, f"{shared} second arrival")]),
+    ]
+    for fname, sel in batches:
+        pq.write_table(
+            pa.table({"doc_id": pa.array([r[0] for r in sel], pa.int64()),
+                      "text": pa.array([r[1] for r in sel], pa.string())}),
+            f"{flat}/{fname}",
+        )
+        time.sleep(0.05)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(flat)
+    )
+    hits: list = []
+    ckpt = str(tmp_path_factory.mktemp("ndttl_ckpt"))
+    from valor_spark.streaming.validate_stream import drain_query
+
+    q = (
+        streaming_near_dup(stream, ttl_ms=1)
+        .writeStream.foreachBatch(lambda b, _i: hits.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    drain_query(q, expected_input_rows=3)
+    # doc 0's fingerprints were evicted before doc 1 arrived
+    assert hits == [], [tuple(r) for r in hits]
+
+
+def test_streaming_near_dup_hot_fp_within_batch_cap(spark, tmp_path_factory):
+    """One hot (boilerplate) fingerprint arriving with N docs in a SINGLE
+    micro-batch must emit at most O(cap^2) pairs — among the first
+    ``max_docs_per_fp`` holders only — never O(N^2) (the unbounded
+    within-batch fan-out bug)."""
+    from valor_spark.streaming.validate_stream import streaming_near_dup
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    flat = str(tmp_path_factory.mktemp("ndhot_src"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 8
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(range(n)), pa.int64()),
+                  "text": pa.array([boiler] * n, pa.string())}),
+        f"{flat}/f1.parquet",
+    )
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(flat)
+    hits: list = []
+    ckpt = str(tmp_path_factory.mktemp("ndhot_ckpt"))
+    from valor_spark.streaming.validate_stream import drain_query
+
+    q = (
+        streaming_near_dup(stream, max_docs_per_fp=3)
+        .writeStream.foreachBatch(lambda b, _i: hits.extend(b.collect()))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    drain_query(q, expected_input_rows=8)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in hits}
+    # only the first 3 holders (docs 0,1,2) pair up: C(3,2)=3 pairs,
+    # not C(8,2)=28
+    assert pairs == {(0, 1), (0, 2), (1, 2)}, pairs

