@@ -974,6 +974,37 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.chi2_df(obs, base, "event_type")
 
 
+def q_drift_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNIFIED drift report (operators/drift.py::drift_report): KS on
+    events.value plus PSI *and* chi-square on events.event_type, all derived
+    from ONE scan of the observed half (exploded bin keys -> one count
+    aggregate with map-side combine) against a baseline histogram frame
+    built from the reference half (baseline_from) — the 100 TB shape: at
+    scale the scan IS the cost, so every metric rides the same pass.
+    chi-square's pass bar is the scale-free Wilson-Hilferty critical value
+    for the realized dof.  Oracle: each statistic recomputed directly
+    between the two halves in SQL."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.filter(F.col("user_id") % 2 == 0)
+    base = ev.filter(F.col("user_id") % 2 == 1)
+    baseline = DR.baseline_from(
+        base, numeric_cols={"value": (0.0, 500.0, 20)},
+        categorical_cols=["event_type"],
+    )
+    results = DR.drift_report(
+        obs,
+        baseline,
+        numeric={"value": dict(lo=0.0, hi=500.0, nbins=20, threshold=0.1)},
+        categorical={"event_type": dict(metrics=("psi", "chi2"))},
+    )
+    rows = [(r.column, r.metric, float(r.value), r.dof) for r in results]
+    return spark.createDataFrame(
+        rows, "column_name string, metric string, value double, dof bigint"
+    ).select(
+        "column_name", "metric", F.round("value", 6).alias("value"), "dof"
+    )
+
+
 def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group Pearson correlation with representation-stable arithmetic
     (operators/constraints.py::corr_stats): moment sums accumulate as
@@ -1289,7 +1320,10 @@ def q_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/temporal.py::interval_join): every 13th signup opens a
     2-hour window; each purchase joins every window containing it via
     time-slot bucketing (equi-shuffle on the slot + exact containment
-    refine — never a cross product).  Oracle: plain inequality join."""
+    refine — never a cross product).  The bucket width is AUTO-derived
+    (p75 of interval spans = 7200 s here) from one tiny pre-aggregate —
+    results are width-independent, only shuffle volume moves.  Oracle:
+    plain inequality join."""
     from valor_spark.operators.temporal import interval_join
 
     ev = _t(spark, sf_dir, "events")
@@ -1304,9 +1338,7 @@ def q_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("hi"),
         )
     )
-    return interval_join(points, intervals, bucket_width_s=3600).select(
-        "point_id", "interval_id"
-    )
+    return interval_join(points, intervals).select("point_id", "interval_id")
 
 
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1680,6 +1712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "value_histogram": q_value_histogram,
         "orders_by_month": q_orders_by_month,
+        # ---- round-5 additions (tail; rotate into the graded window r6) -
+        "drift_all": q_drift_all,
     }
 
 
@@ -2260,6 +2294,62 @@ def oracle_sql() -> dict[str, str]:
                                  * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
                    END AS corr
             FROM s
+        """,
+        # unified one-scan drift report: each statistic recomputed directly
+        # between the halves (the engine derives base shares via its
+        # baseline_from histogram — identical values, different plumbing)
+        "drift_all": """
+            WITH ov AS (
+              SELECT GREATEST(0, LEAST(19, FLOOR(value / 25.0)))::INT AS bin,
+                     COUNT(*) AS n
+              FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL GROUP BY 1
+            ), bv AS (
+              SELECT GREATEST(0, LEAST(19, FLOOR(value / 25.0)))::INT AS bin,
+                     COUNT(*) AS n
+              FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL GROUP BY 1
+            ),
+            op AS (SELECT bin, n::DOUBLE / (SELECT SUM(n) FROM ov) AS p FROM ov),
+            bq AS (SELECT bin, n::DOUBLE / (SELECT SUM(n) FROM bv) AS q FROM bv),
+            jv AS (
+              SELECT COALESCE(op.bin, bq.bin) AS bin,
+                     COALESCE(p, 0) AS p, COALESCE(q, 0) AS q
+              FROM op FULL OUTER JOIN bq ON op.bin = bq.bin
+            ),
+            cv AS (
+              SELECT SUM(p) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                   - SUM(q) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS d
+              FROM jv
+            ),
+            oc AS (
+              SELECT event_type AS k, COUNT(*)::DOUBLE AS n FROM events
+              WHERE user_id % 2 = 0 AND event_type IS NOT NULL GROUP BY 1
+            ), bc AS (
+              SELECT event_type AS k, COUNT(*)::DOUBLE AS n FROM events
+              WHERE user_id % 2 = 1 AND event_type IS NOT NULL GROUP BY 1
+            ),
+            jc AS (
+              SELECT COALESCE(oc.n, 0) AS n_o, COALESCE(bc.n, 0) AS n_b
+              FROM oc FULL OUTER JOIN bc USING (k)
+            ),
+            sh AS (
+              SELECT GREATEST(n_o / (SELECT SUM(n_o) FROM jc), 1e-9) AS p,
+                     GREATEST(n_b / (SELECT SUM(n_b) FROM jc), 1e-9) AS q,
+                     n_o,
+                     GREATEST(n_b / (SELECT SUM(n_b) FROM jc), 1e-9)
+                       * (SELECT SUM(n_o) FROM jc) AS exp
+              FROM jc
+            )
+            SELECT 'value' AS column_name, 'ks' AS metric,
+                   (SELECT ROUND(MAX(ABS(d)), 6) FROM cv) AS value,
+                   NULL::BIGINT AS dof
+            UNION ALL
+            SELECT 'event_type', 'psi',
+                   (SELECT ROUND(SUM((p - q) * LN(p / q)), 6) FROM sh),
+                   NULL::BIGINT
+            UNION ALL
+            SELECT 'event_type', 'chi2',
+                   (SELECT ROUND(SUM((n_o - exp) * (n_o - exp) / exp), 6) FROM sh),
+                   (SELECT (COUNT(*) - 1)::BIGINT FROM sh)
         """,
         "ks_value_drift": """
             WITH o AS (

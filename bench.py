@@ -80,6 +80,8 @@ HEADLINE = [
     "val_docs_quality",
     "tfidf_topk",
     "docs_pipeline",
+    # round-5 additions (same caveat: totals widen again)
+    "drift_all",
 ]
 
 

@@ -98,6 +98,80 @@ def test_drift_report_single_scan_matches_per_metric(spark):
     assert got[("dur_ms", "ks")].passed and got[("sr_hz", "psi")].passed
 
 
+def test_drift_report_chi2_same_scan(spark):
+    """metrics=("psi","chi2") derives BOTH statistics from the one exploded
+    -key histogram: chi2 agrees with the chi2_df operator run on equivalent
+    raw frames, dof is realized union-categories - 1, and the default
+    threshold is the scale-free Wilson-Hilferty critical value."""
+    from valor_spark.operators.drift import chi2_critical, chi2_df
+
+    obs = spark.createDataFrame([("a",)] * 30 + [("b",)] * 10, "k string")
+    base = spark.createDataFrame([("a",)] * 20 + [("b",)] * 20, "k string")
+    baseline = D.baseline_from(base, numeric_cols={}, categorical_cols=["k"])
+    rep = {
+        r.metric: r
+        for r in D.drift_report(
+            obs, baseline, categorical={"k": dict(metrics=("psi", "chi2"))}
+        )
+    }
+    want = chi2_df(obs, base, "k").collect()[0]
+    assert abs(rep["chi2"].value - want["chi2"]) < 1e-9
+    assert rep["chi2"].dof == want["dof"] == 1
+    assert abs(rep["chi2"].threshold - chi2_critical(1)) < 1e-12
+    assert not rep["chi2"].passed  # chi2=10.0 > 3.84 critical
+    assert "psi" in rep and rep["psi"].dof is None
+    # chi2_threshold override beats the critical-value default
+    loose = D.drift_report(
+        obs, baseline,
+        categorical={"k": dict(metrics=("chi2",), chi2_threshold=100.0)},
+    )[0]
+    assert loose.passed and loose.threshold == 100.0
+    # Wilson-Hilferty sanity against table values (95%): dof=1 -> 3.841,
+    # dof=10 -> 18.307 (approximation good to ~1%)
+    assert abs(chi2_critical(1) - 3.841) < 0.1
+    assert abs(chi2_critical(10) - 18.307) < 0.1
+
+
+def test_drift_report_stream_matches_batch(spark, tmp_path):
+    """drift_report_stream: the full KS+PSI+chi2 one-scan report per micro
+    -batch equals the batch drift_report on the same rows."""
+    from valor_spark.streaming.validate_stream import drift_report_stream
+
+    src = spark.createDataFrame(
+        [(i, float(i % 7) * 100.0, ["a", "b", "c"][i % 3]) for i in range(300)],
+        "id bigint, v double, k string",
+    )
+    base = spark.createDataFrame(
+        [(i, float(i % 5) * 100.0, ["a", "b"][i % 2]) for i in range(200)],
+        "id bigint, v double, k string",
+    )
+    baseline = D.baseline_from(
+        base, numeric_cols={"v": (0.0, 700.0, 7)}, categorical_cols=["k"]
+    ).cache()
+    numeric = {"v": dict(lo=0.0, hi=700.0, nbins=7, threshold=0.05)}
+    categorical = {"k": dict(metrics=("psi", "chi2"))}
+    want = {
+        (r.column, r.metric): round(r.value, 9)
+        for r in D.drift_report(src, baseline, numeric=numeric,
+                                categorical=categorical)
+    }
+    src_dir = str(tmp_path / "src")
+    src.coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("id bigint, v double, k string").parquet(src_dir)
+    got: dict = {}
+
+    def on_batch(results, batch_df, batch_id):
+        for r in results:
+            got[(r.column, r.metric)] = round(r.value, 9)
+
+    q = drift_report_stream(
+        stream, baseline, on_batch, str(tmp_path / "ckpt"),
+        numeric=numeric, categorical=categorical, trigger_once=True,
+    )
+    assert q.awaitTermination(120)
+    assert got == want and ("k", "chi2") in want
+
+
 def test_psi_drift_string_categorical_baseline(spark):
     """A genuinely string-typed category (e.g. codec) in the baseline: the
     baseline carries it in the `category` column (the legacy numeric bin_lo

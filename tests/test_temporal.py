@@ -177,6 +177,39 @@ def test_asof_join_tolerance_subsecond_precision(spark):
     assert loose["t"] == 5.0
 
 
+def test_interval_join_auto_bucket_width(spark):
+    """Default (bucket_width_s=None) derives the width from a p75-span
+    pre-aggregate: results are IDENTICAL to any explicit width (containment
+    refine makes them width-independent), zero-span p75 clamps to 1 s, and
+    an empty intervals side falls back without error."""
+    points = spark.createDataFrame(
+        [(i, _ts(i % 12, (i * 13) % 60)) for i in range(100)],
+        "pid bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (100, _ts(1, 0), _ts(3, 0)),
+            (101, _ts(2, 30), _ts(2, 45)),
+            (102, _ts(10, 0), _ts(23, 0)),
+        ],
+        "iid bigint, lo timestamp, hi timestamp",
+    )
+    auto = {(r["pid"], r["iid"]) for r in TP.interval_join(points, intervals).collect()}
+    explicit = {
+        (r["pid"], r["iid"])
+        for r in TP.interval_join(points, intervals, bucket_width_s=3600).collect()
+    }
+    assert auto == explicit and auto
+    # all-zero spans: p75 = 0 must clamp to width 1 s, not divide-by-zero
+    degen = spark.createDataFrame(
+        [(1, _ts(5, 30), _ts(5, 30))], "iid bigint, lo timestamp, hi timestamp"
+    )
+    assert TP.interval_join(points, degen).count() == 0  # empty half-open
+    # empty intervals side: percentile returns NULL -> fallback width
+    empty = degen.filter("iid < 0")
+    assert TP.interval_join(points, empty).count() == 0
+
+
 def test_interval_join_no_duplicate_pairs(spark):
     # an interval spanning many buckets must still yield each pair once
     points = spark.createDataFrame([(1, _ts(5, 30))], "pid bigint, ts timestamp")

@@ -214,6 +214,89 @@ def test_bmp_pnm_roundtrip_unit():
     assert tuple(img[0, 0]) == (255 - v, 0, v)  # RGB from palette entry v
 
 
+def test_png_roundtrip_unit():
+    """Real PNG decode (stdlib zlib + numpy unfiltering): encode->decode is
+    the identity for gray and RGB across ALL FIVE scanline filters; alpha
+    planes (color types 4/6) are stripped; palette PNGs resolve through
+    PLTE; truncation (missing IEND) and Adam7 interlace raise."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 3), (16, 9)]:
+        for c in (1, 3):
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            alpha = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            for ft in range(5):
+                assert np.array_equal(
+                    MM.decode_png(MM.encode_png(img, filter_type=ft)), img
+                ), (h, w, c, ft)
+                assert np.array_equal(
+                    MM.decode_png(MM.encode_png(img, filter_type=ft, alpha=alpha)),
+                    img,
+                ), ("alpha", h, w, c, ft)
+    raw = MM.encode_png(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8), 4)
+    with pytest.raises(ValueError, match="no_iend"):
+        MM.decode_png(raw[:-6])
+    px, fmt, err = MM.decode_image(raw[:-6])
+    assert (px, fmt, err) == (None, "png", "decode_failed:png_truncated:no_iend")
+    # interlaced flag -> rejected (Adam7 pass layout is not implemented)
+    bad = bytearray(raw)
+    bad[8 + 8 + 12] = 1
+    with pytest.raises(ValueError, match="interlaced"):
+        MM.decode_png(bytes(bad))
+    # hand-built palette PNG (color type 3): indices resolve through PLTE
+    idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
+    plte = bytes((10, 20, 30, 200, 0, 0, 0, 0, 250))  # 3 RGB entries
+    scan = b"".join(b"\x00" + r.tobytes() for r in idx)
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    pal_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    out = MM.decode_png(pal_png)
+    assert out.shape == (2, 2, 3) and tuple(out[0, 0]) == (10, 20, 30)
+    assert tuple(out[1, 0]) == (0, 0, 250) and tuple(out[0, 1]) == (200, 0, 0)
+    # grayscale palette collapses to one channel
+    gray_plte = bytes(v for i in (0, 128, 255) for v in (i, i, i))
+    gray_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", gray_plte)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    out = MM.decode_png(gray_png)
+    assert out.shape == (2, 2, 1) and out[1, 0, 0] == 255
+
+
+def test_image_features_png_decode(spark):
+    """image_features really decodes PNG rows inside the Arrow pass: true
+    dims/intensity from unfiltered pixels, format='png', alpha stripped."""
+    grad = np.tile(np.linspace(0, 255, 8).astype(np.uint8)[:, None], (1, 4))
+    alpha = np.full((8, 4), 7, dtype=np.uint8)
+    rows = [
+        (1, MM.encode_png(grad, filter_type=3)),
+        (2, MM.encode_png(np.stack([grad] * 3, axis=2), filter_type=4,
+                          alpha=alpha)),
+        (3, MM.encode_png(grad, filter_type=1)[:-6]),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "id bigint, bytes binary")
+    out = {r["id"]: r for r in MM.image_features(df, dim=2).collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"],
+            out[1]["channels"]) == ("png", 4, 8, 1)
+    assert abs(out[1]["mean_intensity"] - grad.mean() / 255.0) < 1e-9
+    # RGBA row: alpha must NOT pollute intensity (it would read 7/255 low)
+    assert (out[2]["channels"], out[2]["format"]) == (3, "png")
+    assert abs(out[2]["mean_intensity"] - grad.mean() / 255.0) < 1e-9
+    assert out[3]["error"] == "decode_failed:png_truncated:no_iend"
+
+
 def test_image_features_real_decode(spark):
     """image_features really decodes BMP/PGM: true dims, true intensity,
     block features from pixel content — and opaque bytes still flow through

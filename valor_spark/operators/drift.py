@@ -109,12 +109,39 @@ def psi_statistic(obs: dict, base: dict) -> float:
     return float(np.sum((p - q) * np.log(p / q)))
 
 
+def chi2_statistic(obs: dict, base_shares: dict) -> tuple[float, int]:
+    """Pearson chi-square of observed COUNTS against baseline SHARES ->
+    ``(chi2, dof)``.  Expected counts = clamped baseline share x observed
+    total (same epsilon policy as :func:`psi_statistic` / :func:`chi2_df`,
+    so categories absent from the baseline draw a finite-but-huge penalty);
+    dof = union categories - 1."""
+    keys = sorted(set(obs) | set(base_shares))
+    n_o = np.array([obs.get(k, 0) for k in keys], dtype=np.float64)
+    tot = float(n_o.sum()) or 1.0
+    q = np.clip(np.array([base_shares.get(k, 0.0) for k in keys]), EPS, None)
+    exp = q * tot
+    return float(np.sum((n_o - exp) ** 2 / exp)), max(0, len(keys) - 1)
+
+
+def chi2_critical(dof: int, z: float = 1.6448536269514722) -> float:
+    """Wilson-Hilferty approximation of the chi-square quantile at the
+    normal deviate ``z`` (default: 95th percentile).  Gives drift checks a
+    SCALE-FREE default pass bar: unlike PSI, the chi2 statistic grows with
+    row count under fixed drift, so a fixed threshold that passes at 1M
+    rows fails at 100 TB — the critical value depends only on dof."""
+    if dof <= 0:
+        return 0.0
+    h = 2.0 / (9.0 * dof)
+    return dof * (1.0 - h + z * np.sqrt(h)) ** 3
+
+
 @dataclass
 class DriftResult:
     column: str
-    metric: str  # 'ks' | 'psi'
+    metric: str  # 'ks' | 'psi' | 'chi2'
     value: float
     threshold: float
+    dof: int | None = None  # chi2 only
 
     @property
     def passed(self) -> bool:
@@ -162,12 +189,17 @@ def drift_report(
     """ALL drift metrics from ONE scan of ``df``.
 
     ``numeric``: {col: {lo, hi, nbins, threshold, pred?}} -> KS;
-    ``categorical``: {col: {threshold, pred?}} -> PSI.  Per-row bin keys for
-    every metric are computed in one projection and exploded, so the input is
-    read once (vs one scan per metric) — at 100 TB the scan IS the cost; the
-    shuffle stays a few-dozen-row count aggregate with map-side combine.
-    ``pred`` optionally restricts which rows enter that column's histogram
-    (e.g. only positive durations)."""
+    ``categorical``: {col: {threshold, pred?, metrics?, chi2_threshold?}} —
+    ``metrics`` (default ``("psi",)``, may include ``"chi2"``) selects which
+    statistics to derive from that column's ONE histogram; chi-square's
+    threshold defaults to the Wilson-Hilferty 95% critical value for the
+    realized dof (scale-free — see :func:`chi2_critical`), overridable via
+    ``chi2_threshold``.  Per-row bin keys for every metric are computed in
+    one projection and exploded, so the input is read once (vs one scan per
+    metric) — at 100 TB the scan IS the cost; the shuffle stays a few-dozen
+    -row count aggregate with map-side combine.  ``pred`` optionally
+    restricts which rows enter that column's histogram (e.g. only positive
+    durations)."""
     numeric = numeric or {}
     categorical = categorical or {}
     for c in (*numeric, *categorical):
@@ -214,14 +246,23 @@ def drift_report(
             for r in base_rows
             if r["column_name"] == col
         }
-        results.append(
-            DriftResult(
-                col,
-                "psi",
-                psi_statistic(obs.get(("c", col), {}), base),
-                spec.get("threshold", 0.2),
+        o = obs.get(("c", col), {})
+        metrics = spec.get("metrics", ("psi",))
+        if "psi" in metrics:
+            results.append(
+                DriftResult(
+                    col, "psi", psi_statistic(o, base), spec.get("threshold", 0.2)
+                )
             )
-        )
+        if "chi2" in metrics:
+            chi2, dof = chi2_statistic(o, base)
+            thr = spec.get("chi2_threshold")
+            results.append(
+                DriftResult(
+                    col, "chi2", chi2,
+                    chi2_critical(dof) if thr is None else thr, dof=dof,
+                )
+            )
     return results
 
 

@@ -1,11 +1,13 @@
 """Multimodal binary-column operators: image / video frames as typed bytes.
 
 Audio is fully real (``valor_spark.operators.audio`` decodes PCM/WAV with
-numpy/stdlib).  Images: uncompressed **BMP (8/24-bit)** and binary **netpbm
-(PGM/PPM)** are REAL decoders here — both formats are fixed-layout and
-parse with numpy alone, no Pillow needed — with real mean-intensity and
-block-average feature extraction.  Compressed formats (JPEG/PNG) and video
-need libraries this container doesn't ship (Pillow, ffmpeg), so those fall
+numpy/stdlib).  Images: uncompressed **BMP (8/24-bit)**, binary **netpbm
+(PGM/PPM)**, and non-interlaced 8-bit **PNG** (gray / RGB / palette /
+gray+alpha / RGBA, all five scanline filters) are REAL decoders here —
+BMP/PNM are fixed-layout and PNG needs only stdlib ``zlib`` plus numpy
+scanline unfiltering, no Pillow — with real mean-intensity and
+block-average feature extraction.  JPEG-class formats and video need
+libraries this container doesn't ship (Pillow, ffmpeg), so those fall
 back to a deterministic fake decoder (documented, not hidden); the
 Spark-side plumbing — typed metadata struct, Arrow-batched ``mapInPandas``
 with a stable output schema, batch-shape handling — is identical for both
@@ -20,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -157,17 +160,192 @@ def decode_pnm(raw: bytes) -> np.ndarray:
     return np.frombuffer(raw, np.uint8, count=need, offset=pos).reshape(h, w, channels)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+#: color type -> samples per pixel in the IDAT stream
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(kind: int, line: np.ndarray, prev: np.ndarray,
+                  bpp: int) -> np.ndarray:
+    """One PNG scanline filter inverse (filters 0-4, RFC 2083 §6).  ``line``
+    is the filtered row, ``prev`` the RECONSTRUCTED previous row (zeros for
+    row 0), ``bpp`` = bytes per complete pixel.  Filters 0/1/2 are fully
+    vectorized (Sub is a per-lane mod-256 prefix sum); Average/Paeth carry a
+    true left-neighbor recurrence, so those loop per PIXEL with numpy doing
+    the per-channel math — bounded by image width, inside an Arrow batch."""
+    if kind == 0:  # None
+        return line.copy()
+    if kind == 2:  # Up
+        return line + prev  # uint8 wraps mod 256
+    if kind == 1:  # Sub: out[x] = line[x] + out[x-bpp] -> prefix sum per lane
+        lanes = line.reshape(-1, bpp).astype(np.uint64)
+        return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
+    out = np.empty_like(line)
+    w = line.shape[0] // bpp
+    lp = prev.astype(np.int32).reshape(w, bpp)
+    lf = line.astype(np.int32).reshape(w, bpp)
+    o = out.reshape(w, bpp)
+    left = np.zeros(bpp, dtype=np.int32)
+    if kind == 3:  # Average
+        for x in range(w):
+            left = (lf[x] + ((left + lp[x]) >> 1)) & 0xFF
+            o[x] = left
+        return out
+    if kind == 4:  # Paeth
+        ul = np.zeros(bpp, dtype=np.int32)
+        for x in range(w):
+            up = lp[x]
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, up, ul))
+            left = (lf[x] + pred) & 0xFF
+            o[x] = left
+            ul = up
+        return out
+    raise ValueError(f"png_bad_filter:{kind}")
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> (H, W, C) uint8 array via stdlib ``zlib``
+    + numpy unfiltering.  Color types: 0 gray, 2 RGB, 3 palette (resolved
+    through PLTE — grayscale palettes collapse to 1 channel, color palettes
+    expand to RGB, mirroring the BMP palette path), 4 gray+alpha and 6 RGBA
+    (alpha is STRIPPED from the returned pixels: features/metadata describe
+    color channels, matching the other decoders).  Bit depths != 8, Adam7
+    interlace, and a missing IEND (truncation) raise ValueError; chunk CRCs
+    are not verified (decode robustness, not integrity checking)."""
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not_png")
+    pos, idat, plte, ihdr, saw_iend = 8, [], None, None, False
+    while pos + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, pos)
+        typ = raw[pos + 4 : pos + 8]
+        data = raw[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("png_truncated:chunk")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8)[: (ln // 3) * 3].reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            saw_iend = True
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("png_truncated:no_ihdr")
+    if not saw_iend:
+        raise ValueError("png_truncated:no_iend")
+    w, h, depth, ctype, comp, fmeth, interlace = ihdr
+    if depth != 8 or ctype not in _PNG_NCH or comp != 0 or fmeth != 0:
+        raise ValueError(f"png_unsupported:depth={depth},ctype={ctype}")
+    if interlace != 0:
+        raise ValueError("png_unsupported:interlaced")
+    if w <= 0 or h <= 0 or not idat:
+        raise ValueError("png_truncated:no_idat")
+    try:
+        stream = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"png_bad_deflate:{exc}") from None
+    nch = _PNG_NCH[ctype]
+    stride = w * nch
+    if len(stream) < h * (stride + 1):
+        raise ValueError(f"png_truncated:{len(stream)}<{h * (stride + 1)}")
+    rows = np.frombuffer(stream, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _png_unfilter(int(rows[y, 0]), rows[y, 1:], prev, nch)
+        img[y] = prev
+    img = img.reshape(h, w, nch)
+    if ctype == 3:  # palette indices -> colors through PLTE
+        if plte is None:
+            raise ValueError("png_palette_missing")
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("png_palette_index_out_of_range")
+        if np.all(plte[:, 0] == plte[:, 1]) and np.all(plte[:, 1] == plte[:, 2]):
+            img = plte[idx, 0][:, :, None]  # grayscale palette -> 1 channel
+        else:
+            img = plte[idx]
+    elif ctype in (4, 6):  # strip alpha: keep color channels only
+        img = img[:, :, : nch - 1]
+    return np.ascontiguousarray(img)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               alpha: np.ndarray | None = None) -> bytes:
+    """(H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 -> non-interlaced
+    8-bit PNG bytes, every scanline carrying ``filter_type`` (0-4) — the
+    synthesis side for tests/fixtures, exercising each unfilter path of
+    :func:`decode_png`.  ``alpha`` (H, W) uint8 adds an alpha plane (color
+    types 4/6), which the decoder strips back off."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    assert c in (1, 3) and 0 <= filter_type <= 4
+    if alpha is not None:
+        img = np.concatenate([img, alpha[:, :, None]], axis=2)
+        c += 1
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    stream = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int32)
+        if filter_type == 0:
+            filt = line
+        elif filter_type == 1:
+            filt = line - np.concatenate([np.zeros(c, np.int32), line[:-c]])
+        elif filter_type == 2:
+            filt = line - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            filt = line - ((left + prev) >> 1)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(c, np.int32), line[:-c]])
+            ul = np.concatenate([np.zeros(c, np.int32), prev[:-c]])
+            p = left + prev - ul
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc_), left,
+                            np.where(pb <= pc_, prev, ul))
+            filt = line - pred
+        stream.append(filter_type)
+        stream.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_image(raw: bytes):
     """-> (pixels (H,W,C) uint8 | None, format, error).  Real decode for
-    BMP/PGM/PPM; unknown magic -> (None, 'opaque', None) so callers can fall
-    back to the deterministic fake featurizer."""
+    BMP/PGM/PPM/PNG; unknown magic -> (None, 'opaque', None) so callers can
+    fall back to the deterministic fake featurizer."""
     try:
         if raw[:2] == b"BM":
             return decode_bmp(raw), "bmp", None
         if raw[:2] in (b"P5", b"P6"):
             return decode_pnm(raw), "pgm" if raw[:2] == b"P5" else "ppm", None
+        if raw[:8] == _PNG_MAGIC:
+            return decode_png(raw), "png", None
     except ValueError as exc:
-        fmt = "bmp" if raw[:2] == b"BM" else "pnm"
+        fmt = ("bmp" if raw[:2] == b"BM"
+               else "png" if raw[:8] == _PNG_MAGIC else "pnm")
         return None, fmt, f"decode_failed:{exc}"
     return None, "opaque", None
 

@@ -121,14 +121,31 @@ def interval_join(
     point_ts: str = "ts",
     lo: str = "lo",
     hi: str = "hi",
-    bucket_width_s: int = 3600,
+    bucket_width_s: int | None = None,
 ) -> DataFrame:
     """Join each point to every interval containing it (``lo <= ts < hi``),
     with NO equi-key required.  Returns all point columns plus all interval
     columns.  ``bucket_width_s`` trades interval replication (span/width
     copies) against slot-join selectivity; intervals and points meet in the
-    point's single slot, so results need no dedup."""
-    wsec = int(bucket_width_s)
+    point's single slot, so results need no dedup.
+
+    Default (``bucket_width_s=None``): the width is DERIVED from the data —
+    one tiny aggregate takes the p75 of interval spans (clamped to >= 1 s)
+    before planning the join, so >= 75% of intervals replicate to at most
+    two slots whatever the table's time scale.  A caller-supplied constant
+    silently over-replicates when spans don't match it (e.g. week-long
+    intervals against the old 3600 s default = 168 copies each); results
+    are width-INDEPENDENT either way (exact containment refines the slot
+    join), only the shuffle volume moves."""
+    if bucket_width_s is None:
+        span_us = intervals.select(
+            F.percentile_approx(
+                _epoch_us(F.col(hi)) - _epoch_us(F.col(lo)), 0.75, 10_000
+            ).alias("p75")
+        ).first()["p75"]
+        wsec = max(1, int((span_us or 3_600_000_000) // 1_000_000))
+    else:
+        wsec = int(bucket_width_s)
     p = points.withColumn(
         "__slot", F.floor(_epoch_s(F.col(point_ts)) / wsec)
     )

@@ -1,5 +1,6 @@
-"""Image-gate fixture: real BMP/PGM/PPM bytes + a pure-Python expected-stats
-oracle, written as parquet so BOTH engines read identical bytes.
+"""Image-gate fixture: real BMP/PGM/PPM/PNG bytes + a pure-Python
+expected-stats oracle, written as parquet so BOTH engines read identical
+bytes.
 
 Mirrors the audio-gate pattern (sources/audio_fixture.py): the expected
 table is derived from the SOURCE pixel arrays at build time, while the Spark
@@ -19,7 +20,9 @@ N_IMAGES = 120
 FEATURE_DIM = 4
 #: bump when the expected-stats derivation changes (baked into filenames so
 #: stale .fixtures can't grade new code against old ground truth)
-FIXTURE_VERSION = 1
+#: v2: PNG rows joined the encode cycle (all five scanline filters + alpha
+#: variants), exercising the real zlib+numpy PNG decoder end-to-end
+FIXTURE_VERSION = 2
 
 
 def _round_half_up(v: float, digits: int) -> float:
@@ -52,13 +55,23 @@ def _source_image(i: int):
 
 
 def _encode(i: int, img: np.ndarray):
-    """-> (bytes, format) cycling through the four real encodings."""
-    from valor_spark.operators.multimodal import encode_bmp
+    """-> (bytes, format) cycling through the real encodings: BMP, binary
+    netpbm, and PNG — the PNG rows rotate through all five scanline filters
+    and (every i % 6 == 5) carry a deterministic alpha plane the decoder
+    must strip back off."""
+    from valor_spark.operators.multimodal import encode_bmp, encode_png
 
     color = img.ndim == 3
-    if i % 4 in (0, 1):
-        return encode_bmp(img), "bmp"
     h, w = img.shape[:2]
+    k = i % 6
+    if k in (0, 1):
+        return encode_bmp(img), "bmp"
+    if k == 3:
+        return encode_png(img, filter_type=i % 5), "png"
+    if k == 5:
+        yy, xx = np.mgrid[0:h, 0:w]
+        alpha = ((yy * 7 + xx * 3 + i) % 256).astype(np.uint8)
+        return encode_png(img, filter_type=(i * 2 + 1) % 5, alpha=alpha), "png"
     if color:
         return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes(), "ppm"
     return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes(), "pgm"
@@ -98,6 +111,11 @@ def build_image_fixture(fixture_dir: str) -> dict[str, str]:
                 need = pixel_off + stride * h
                 raw = raw[:-6]
                 err = f"decode_failed:bmp_truncated:{len(raw)}<{need}"
+            elif fmt == "png":
+                # chopping the tail removes IEND (the 12-byte final chunk):
+                # the decoder treats a missing IEND as truncation
+                raw = raw[:-6]
+                err = "decode_failed:png_truncated:no_iend"
             else:
                 hdr_len = len(raw) - h * w * c
                 raw = raw[:-6]

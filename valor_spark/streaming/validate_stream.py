@@ -276,6 +276,44 @@ def drift_stream(
     return writer.start()
 
 
+def drift_report_stream(
+    stream_df: DataFrame,
+    baseline_df: DataFrame,
+    on_batch: Callable[[list, DataFrame, int], None],
+    checkpoint_dir: str,
+    numeric: dict | None = None,
+    categorical: dict | None = None,
+    trigger_once: bool = False,
+):
+    """ALL drift metrics (KS + PSI + chi-square) per micro-batch from ONE
+    scan of the batch: the batch :func:`~valor_spark.operators.drift.
+    drift_report` operator runs unchanged inside ``foreachBatch`` against a
+    FIXED baseline histogram table, so each arriving batch is read once for
+    every configured metric (vs one pass per metric with the single-metric
+    wrappers).  ``on_batch(results, batch_df, batch_id)`` receives the
+    ``list[DriftResult]``; the baseline is the tiny ``(column_name, bin_lo,
+    bin_hi, expected_share, category)`` frame ``baseline_from`` builds —
+    stream execution, batch truth."""
+    from valor_spark.operators.drift import drift_report
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        on_batch(
+            drift_report(batch_df, baseline_df, numeric=numeric,
+                         categorical=categorical),
+            batch_df,
+            batch_id,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_near_dup(
     stream_df: DataFrame,
     text_col: str = "text",
