@@ -974,6 +974,33 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DR.chi2_df(obs, base, "event_type")
 
 
+def q_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline JPEG decode in the gate (operators/jpeg.py — pure
+    numpy + stdlib, ITU-T T.81: Huffman entropy decode, dequant, IDCT,
+    4:4:4/4:2:0, restart markers): fixture JPEG bytes decoded in the Arrow
+    mapInPandas pass; graded columns are the METADATA the decode must
+    reconstruct (dims/channels, spec-derived) plus payload identity —
+    lossy pixel VALUES are PSNR-verified in pytest (exact-hash grading of
+    lossy output would be tautological; the spec table knows shapes, not
+    reconstruction error)."""
+    from valor_spark.operators import multimodal as MM
+    from valor_spark.sources.image_fixture import build_jpeg_fixture
+
+    paths = build_jpeg_fixture(FIXTURE_DIR)
+    imgs = spark.read.parquet(paths["data"])
+    feats = MM.image_features(imgs, dim=4)
+    return feats.select(
+        "id",
+        "format",
+        "n_bytes",
+        "content_sha1",
+        "width",
+        "height",
+        "channels",
+        F.col("error").isNotNull().alias("has_error"),
+    )
+
+
 def q_drift_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The UNIFIED drift report (operators/drift.py::drift_report): KS on
     events.value plus PSI *and* chi-square on events.event_type, all derived
@@ -1076,7 +1103,7 @@ def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (operators/multimodal.py::image_dhash_groups):
-    real BMP/PGM/PPM decode -> dHash (integer-index 8x9 nearest sample, 64
+    real BMP/PGM/PPM/PNG decode -> dHash (integer-index 8x9 nearest sample, 64
     neighbor-comparison bits) -> hash-agg groups.  Resolution-independent:
     the fixture's gradient family collides by design.  Oracle derives the
     same groups from the SOURCE pixels (bytes -> decode -> hash vs spec ->
@@ -1150,7 +1177,7 @@ def q_stream_audio_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real image decode in the graded gate: BMP/PGM/PPM bytes decoded with
+    """Real image decode in the graded gate: BMP/PGM/PPM/PNG bytes decoded with
     numpy in the Arrow mapInPandas pass (true dims, intensity, block
     features); the oracle reads the expected table derived from the SOURCE
     pixel arrays (sources/image_fixture.py), so encode->decode, metadata,
@@ -1714,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         # ---- round-5 additions (tail; rotate into the graded window r6) -
         "drift_all": q_drift_all,
+        "jpeg_stats": q_jpeg_stats,
     }
 
 
@@ -2055,6 +2083,9 @@ def oracle_sql() -> dict[str, str]:
 
     audio_dedup_expected = build_audio_dedup_fixture(FIXTURE_DIR)
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.image_fixture import build_jpeg_fixture
+
+    jpeg_expected = build_jpeg_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_image_dhash_fixture
 
     image_dhash_expected = build_image_dhash_fixture(FIXTURE_DIR)
@@ -2448,6 +2479,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
         "audio_dedup": f"SELECT * FROM read_parquet('{audio_dedup_expected}')",
         "image_dedup": f"SELECT * FROM read_parquet('{image_dhash_expected}')",
+        # jpeg gate: spec-derived metadata table (dims from the source
+        # arrays; lossy pixels are PSNR-verified in pytest, not hash-graded)
+        "jpeg_stats": f"SELECT * FROM read_parquet('{jpeg_expected}')",
         # stream execution, batch truth: the same spec-derived profile
         # parquet grades the streaming path
         "stream_audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",

@@ -52,6 +52,59 @@ def test_decode_one_unit():
     assert err == "null_bytes"
 
 
+def test_g711_decode_unit():
+    """G.711 mu-law / A-law decode against published table landmarks, full
+    code-level round-trip through the encoder, and quantization SNR above
+    the pipeline's 30 dB gate."""
+    # landmarks (CCITT/Sun G.711 tables)
+    assert A.ULAW_DECODE_LUT[0xFF] == 0
+    assert A.ULAW_DECODE_LUT[0x00] == -32124
+    assert A.ULAW_DECODE_LUT[0x80] == 32124
+    assert A.ALAW_DECODE_LUT[0xD5] == 8
+    assert A.ALAW_DECODE_LUT[0x55] == -8
+    assert A.ALAW_DECODE_LUT[0xAA] == 32256
+    for law, lut in (("mulaw", A.ULAW_DECODE_LUT), ("alaw", A.ALAW_DECODE_LUT)):
+        # decode-level idempotence over EVERY code (mu-law +0/-0 alias)
+        codes = np.arange(256, dtype=np.uint8)
+        rt = np.frombuffer(A.encode_g711(lut[codes], law), np.uint8)
+        assert np.array_equal(lut[rt], lut[codes]), law
+        # a 997 Hz-ish sine at -10 dBFS survives companding >= 30 dB SNR
+        t = np.arange(4000)
+        sine = (10000 * np.sin(2 * np.pi * t * 997 / 16000)).astype(np.int16)
+        dec, rate, err = A.decode_one(
+            A.encode_g711(sine, law), "pcm_mulaw" if law == "mulaw" else "pcm_alaw"
+        )
+        assert err is None and rate is None and len(dec) == len(sine)
+        assert A.snr_db(dec, sine) >= 33.0, law
+    _, _, err = A.decode_one(b"anything", "amr")
+    assert err == "unsupported_codec:amr"
+
+
+def test_g711_clip_passes_audio_invariant(spark):
+    """The real re-containering scenario: a clip delivered as pcm_mulaw
+    whose reference is the original int16 PCM passes the SNR >= 30 dB gate
+    through the full mapInArrow invariant pass (decode_one fallback path —
+    no operator changes needed for a new codec)."""
+    t = np.arange(512)
+    src = (9000 * np.sin(2 * np.pi * t * 5 / 512)).astype(np.int16)
+    clips = spark.createDataFrame(
+        [("m1", A.encode_g711(src, "mulaw"), 16000, 32, "pcm_mulaw", "hi", 0),
+         ("a1", A.encode_g711(src, "alaw"), 16000, 32, "pcm_alaw", "hi", 0)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "
+        "transcript string, shard int",
+    )
+    ref = spark.createDataFrame(
+        [("m1", src.astype("<i2").tobytes(), "hi"),
+         ("a1", src.astype("<i2").tobytes(), "hi")],
+        "clip_id string, pcm_ref binary, transcript_ref string",
+    )
+    out = {r["clip_id"]: r for r in A.with_audio_invariant(clips, ref).collect()}
+    for cid in ("m1", "a1"):
+        assert out[cid]["decode_error"] is None
+        assert out[cid]["n_samples"] == 512
+        assert out[cid]["snr_db"] >= A.SNR_DB_MIN
+
+
 def test_wav_header_rate_mismatch_flagged(spark):
     pcm = np.arange(0, 64, dtype="<i2")
     good = S.wrap_wav(pcm, 16000)

@@ -275,6 +275,100 @@ def test_png_roundtrip_unit():
     assert out.shape == (2, 2, 1) and out[1, 0, 0] == 255
 
 
+def test_jpeg_roundtrip_unit():
+    """Real baseline JPEG codec (pure numpy + stdlib, ITU-T T.81): encode->
+    decode reconstructs the SOURCE pixels within JPEG-typical PSNR bounds
+    (an independent check — a mirrored transform bug shows up as loss),
+    across gray/RGB, 4:4:4/4:2:0, restart markers, odd dims; flat blocks
+    are exactly lossless; truncation raises ValueError."""
+    from valor_spark.operators import jpeg as J
+
+    def psnr(a, b):
+        mse = np.mean((np.asarray(a, float) - np.asarray(b, float)) ** 2)
+        return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+    g = np.tile(np.linspace(20, 230, 48).astype(np.uint8)[:, None], (1, 40))
+    rgb = np.stack([g, np.roll(g, 5, 0), 255 - g], axis=2)
+    out = J.decode_jpeg(J.encode_jpeg(g, quality=90))
+    assert out.shape == (48, 40, 1) and psnr(g[:, :, None], out) > 45
+    out = J.decode_jpeg(J.encode_jpeg(rgb, quality=90))
+    assert out.shape == (48, 40, 3) and psnr(rgb, out) > 40
+    # 4:2:0 (chroma half-res, replication upsample) + restart markers
+    out = J.decode_jpeg(
+        J.encode_jpeg(rgb, quality=90, subsampling="4:2:0", restart_interval=3)
+    )
+    assert out.shape == (48, 40, 3) and psnr(rgb, out) > 25
+    odd = np.ascontiguousarray(rgb[:45, :37])
+    out = J.decode_jpeg(J.encode_jpeg(odd, quality=85, subsampling="4:2:0"))
+    assert out.shape == (45, 37, 3)
+    # flat content survives quantization exactly at any quality
+    flat = np.full((16, 16), 100, np.uint8)
+    assert np.array_equal(
+        J.decode_jpeg(J.encode_jpeg(flat, quality=50))[:, :, 0], flat
+    )
+    raw = J.encode_jpeg(g, quality=85)
+    for cut in (len(raw) // 2, 30, 3):
+        with pytest.raises(ValueError):
+            J.decode_jpeg(raw[:cut])
+    with pytest.raises(ValueError, match="unsupported:sof"):
+        # flip SOF0 -> SOF2 (progressive): must be rejected, not garbled
+        i = raw.index(b"\xff\xc0")
+        J.decode_jpeg(raw[:i] + b"\xff\xc2" + raw[i + 2 :])
+
+
+def test_jpeg_hand_built_bitstream_unit():
+    """Decoder-independent ground truth: a single-block grayscale JPEG
+    hand-assembled bit by bit (Annex K tables, quant all-ones, DC=16, no
+    ACs) must decode to the analytically-derived uniform plane
+    128 + 16/8 = 130 — this cannot pass via an encoder/decoder mirrored
+    bug because the encoder never runs."""
+    import struct
+
+    from valor_spark.operators import jpeg as J
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    raw = bytearray(b"\xff\xd8")
+    raw += seg(0xFFDB, b"\x00" + bytes([1] * 64))  # quant: all ones
+    raw += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+    raw += seg(0xFFC4, bytes([0x00]) + bytes(J.DC_LUM_BITS) + bytes(J.DC_LUM_VALS))
+    raw += seg(0xFFC4, bytes([0x10]) + bytes(J.AC_LUM_BITS) + bytes(J.AC_LUM_VALS))
+    raw += seg(0xFFDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    # entropy bits: DC category 5 = code '110' (Annex K DC-lum canonical),
+    # value 16 = '10000'; EOB = '1010' (AC-lum).  110 10000 1010 + 1-pad
+    # -> bytes 11010000 10101111 = 0xD0 0xAF
+    raw += bytes((0xD0, 0xAF))
+    raw += b"\xff\xd9"
+    out = J.decode_jpeg(bytes(raw))
+    # DC coefficient 16, orthonormal IDCT: pixel = 16/8 + 128 = 130 exactly
+    assert out.shape == (8, 8, 1) and np.all(out == 130)
+
+
+def test_image_features_jpeg_decode(spark):
+    """image_features really decodes JPEG rows in the Arrow pass: format,
+    true dims, intensity within lossy tolerance of the source; truncated
+    payloads surface the error column."""
+    from valor_spark.operators.jpeg import encode_jpeg
+
+    g = np.tile(np.linspace(30, 220, 32).astype(np.uint8)[:, None], (1, 16))
+    rgb = np.stack([g, g, g], axis=2)
+    rows = [
+        (1, encode_jpeg(g, quality=90)),
+        (2, encode_jpeg(rgb, quality=90, subsampling="4:2:0")),
+        (3, encode_jpeg(g, quality=90)[:40]),  # truncated
+    ]
+    df = spark.createDataFrame(rows, "id bigint, bytes binary")
+    out = {r["id"]: r for r in MM.image_features(df, dim=2).collect()}
+    src_mi = float(g.mean()) / 255.0
+    assert (out[1]["format"], out[1]["width"], out[1]["height"],
+            out[1]["channels"]) == ("jpeg", 16, 32, 1)
+    assert abs(out[1]["mean_intensity"] - src_mi) < 0.01
+    assert (out[2]["format"], out[2]["channels"]) == ("jpeg", 3)
+    assert abs(out[2]["mean_intensity"] - src_mi) < 0.01
+    assert out[3]["format"] == "jpeg" and out[3]["error"] is not None
+
+
 def test_image_features_png_decode(spark):
     """image_features really decodes PNG rows inside the Arrow pass: true
     dims/intensity from unfiltered pixels, format='png', alpha stripped."""

@@ -7,9 +7,11 @@ this is the engine-level payload check mandated by BASELINE.json — the rule
 *algebra* consuming the decoded features is pure Valor semantics.)
 
 Codecs supported without external audio libs (none are installed):
-``pcm_s16le`` via ``numpy.frombuffer`` and ``wav`` via stdlib ``wave``.
-Unknown codecs produce a decode error (and are separately flagged by the
-codec-whitelist row rule).
+``pcm_s16le`` via ``numpy.frombuffer``, ``wav`` via stdlib ``wave``, and
+the G.711 telephony codecs ``pcm_mulaw`` / ``pcm_alaw`` via 256-entry
+lookup tables (ITU-T G.711 segment expansion — one vectorized gather per
+clip).  Unknown codecs produce a decode error (and are separately flagged
+by the codec-whitelist row rule).
 
 Scale notes (100 TB of audio):
 
@@ -35,6 +37,54 @@ from pyspark.sql import types as T
 
 SNR_DB_MIN = 30.0
 
+
+def _build_g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """code byte -> int16 sample for mu-law and A-law (ITU-T G.711 segment
+    expansion, the classic CCITT/Sun reference formulas).  Built once at
+    import; decode is then a single vectorized table gather."""
+    ulaw = np.zeros(256, np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        ulaw[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+    alaw = np.zeros(256, np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[code] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+ULAW_DECODE_LUT, ALAW_DECODE_LUT = _build_g711_luts()
+
+
+def encode_g711(samples: np.ndarray, law: str) -> bytes:
+    """int16 PCM -> G.711 code bytes (mu-law or A-law) — the synthesis side
+    for tests/fixtures, via exact inverse search of the decode LUT: each
+    sample maps to the code whose decoded value is nearest, so
+    ``decode(encode(x))`` is the closest representable level and
+    ``decode(encode(decode(c))) == decode(c)`` for every code (mu-law's
+    +0/-0 codes alias the same level, so code-level idempotence holds up
+    to that pair)."""
+    lut = ULAW_DECODE_LUT if law == "mulaw" else ALAW_DECODE_LUT
+    order = np.argsort(lut.astype(np.int32), kind="stable")
+    sorted_vals = lut.astype(np.int32)[order]
+    x = np.asarray(samples, np.int32)
+    pos = np.searchsorted(sorted_vals, x)
+    pos = np.clip(pos, 1, 255)
+    lo, hi = sorted_vals[pos - 1], sorted_vals[pos]
+    take_lo = (x - lo) <= (hi - x)
+    idx = np.where(take_lo, pos - 1, pos)
+    return order[idx].astype(np.uint8).tobytes()
+
+
 def decode_one(
     raw: bytes | None, codec: str | None
 ) -> tuple[np.ndarray | None, int | None, str | None]:
@@ -54,6 +104,10 @@ def decode_one(
                 rate = w.getframerate()
                 frames = w.readframes(w.getnframes())
             return np.frombuffer(frames, dtype="<i2"), rate, None
+        if codec == "pcm_mulaw":
+            return ULAW_DECODE_LUT[np.frombuffer(raw, np.uint8)], None, None
+        if codec == "pcm_alaw":
+            return ALAW_DECODE_LUT[np.frombuffer(raw, np.uint8)], None, None
         return None, None, f"unsupported_codec:{codec}"
     except Exception as exc:  # malformed container
         return None, None, f"decode_failed:{type(exc).__name__}"

@@ -2,11 +2,12 @@
 
 Audio is fully real (``valor_spark.operators.audio`` decodes PCM/WAV with
 numpy/stdlib).  Images: uncompressed **BMP (8/24-bit)**, binary **netpbm
-(PGM/PPM)**, and non-interlaced 8-bit **PNG** (gray / RGB / palette /
-gray+alpha / RGBA, all five scanline filters) are REAL decoders here —
-BMP/PNM are fixed-layout and PNG needs only stdlib ``zlib`` plus numpy
-scanline unfiltering, no Pillow — with real mean-intensity and
-block-average feature extraction.  JPEG-class formats and video need
+(PGM/PPM)**, non-interlaced 8-bit **PNG** (gray / RGB / palette /
+gray+alpha / RGBA, all five scanline filters; stdlib ``zlib`` + numpy
+unfiltering), and baseline **JPEG** (SOF0, 4:4:4/4:2:2/4:2:0, restart
+markers — ``valor_spark.operators.jpeg``, pure numpy + stdlib) are REAL
+decoders with real mean-intensity and block-average feature extraction.
+Video and the exotic still formats (progressive JPEG, WebP, ...) need
 libraries this container doesn't ship (Pillow, ffmpeg), so those fall
 back to a deterministic fake decoder (documented, not hidden); the
 Spark-side plumbing — typed metadata struct, Arrow-batched ``mapInPandas``
@@ -343,9 +344,14 @@ def decode_image(raw: bytes):
             return decode_pnm(raw), "pgm" if raw[:2] == b"P5" else "ppm", None
         if raw[:8] == _PNG_MAGIC:
             return decode_png(raw), "png", None
+        if raw[:2] == b"\xff\xd8":
+            from valor_spark.operators.jpeg import decode_jpeg
+
+            return decode_jpeg(raw), "jpeg", None
     except ValueError as exc:
         fmt = ("bmp" if raw[:2] == b"BM"
-               else "png" if raw[:8] == _PNG_MAGIC else "pnm")
+               else "png" if raw[:8] == _PNG_MAGIC
+               else "jpeg" if raw[:2] == b"\xff\xd8" else "pnm")
         return None, fmt, f"decode_failed:{exc}"
     return None, "opaque", None
 
@@ -379,7 +385,7 @@ def image_features(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id",
                    dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over a binary image column.
 
-    BMP/PGM/PPM payloads are REALLY decoded (numpy-only, see
+    BMP/PGM/PPM/PNG payloads are REALLY decoded (numpy-only, see
     :func:`decode_image`) with true width/height/channels metadata, mean
     intensity, and block-average features; unknown/compressed formats
     (format='opaque') get the deterministic fake featurizer so the pipeline
@@ -476,7 +482,7 @@ def dhash_hex(img: np.ndarray) -> str:
 
 def image_dhash(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id") -> DataFrame:
     """Perceptual image hashing over a binary column -> ``(id, dhash,
-    format, error)``: BMP/PGM/PPM payloads are really decoded and dHashed;
+    format, error)``: BMP/PGM/PPM/PNG payloads are really decoded and dHashed;
     opaque/undecodable payloads carry a NULL hash (their pixels are
     unknown — a fake hash would manufacture false duplicate groups).  Same
     Arrow-batched shape as :func:`image_features`: no shuffle, the binary

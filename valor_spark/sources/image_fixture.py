@@ -180,6 +180,82 @@ def build_image_fixture(fixture_dir: str) -> dict[str, str]:
     return paths
 
 
+def build_jpeg_fixture(fixture_dir: str) -> dict[str, str]:
+    """JPEG-gate fixture: real baseline JPEG bytes (gray/RGB, 4:4:4 and
+    4:2:0, restart markers, odd dims, a truncation plant) + an expected
+    METADATA table derived from the SOURCE spec (dims/channels from the
+    source array shape — lossy pixel values are pytest-verified via PSNR,
+    not hash-graded; the gate grades that the decoder really parses and
+    reconstructs shape/metadata distributed under Spark)."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from valor_spark.operators.jpeg import encode_jpeg
+
+    n = 60
+    tag = _hashlib.md5(
+        repr((FIXTURE_VERSION, n, "jpeg")).encode()
+    ).hexdigest()[:8]
+    paths = {
+        name: os.path.join(fixture_dir, f"images_jpeg_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    data_rows, expected_rows = [], []
+    for i in range(n):
+        img = _source_image(1000 + i)  # same pattern family, distinct seeds
+        img3 = img if img.ndim == 3 else img[:, :, None]
+        h, w, c = img3.shape
+        raw = encode_jpeg(
+            img if img.ndim == 2 else img3,
+            quality=75 + (i * 7) % 21,
+            subsampling="4:2:0" if (c == 3 and i % 3 == 0) else "4:4:4",
+            restart_interval=(i % 4 == 1) and 2 or 0,
+        )
+        err = None
+        if i % 11 == 7:  # planted truncation
+            raw = raw[: len(raw) // 2]
+            err = "truncated"
+        sha1 = _hashlib.sha1(raw).hexdigest()
+        data_rows.append((i, raw))
+        if err is not None:
+            expected_rows.append((i, "jpeg", len(raw), sha1, None, None, None, True))
+        else:
+            expected_rows.append((i, "jpeg", len(raw), sha1, w, h, c, False))
+
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([r[0] for r in data_rows], pa.int64()),
+                "bytes": pa.array([r[1] for r in data_rows], pa.binary()),
+            }
+        ),
+        paths["data"],
+    )
+    cols = list(zip(*expected_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array(cols[0], pa.int64()),
+                "format": pa.array(cols[1], pa.string()),
+                "n_bytes": pa.array(cols[2], pa.int32()),
+                "content_sha1": pa.array(cols[3], pa.string()),
+                "width": pa.array(cols[4], pa.int32()),
+                "height": pa.array(cols[5], pa.int32()),
+                "channels": pa.array(cols[6], pa.int32()),
+                "has_error": pa.array(cols[7], pa.bool_()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
+
+
 def build_image_dhash_fixture(fixture_dir: str) -> str:
     """Expected perceptual-duplicate groups ``(dhash, n, first_id)`` —
     spec-side mirror of operators/multimodal.py::dhash_hex over the SOURCE
