@@ -240,10 +240,10 @@ def test_png_roundtrip_unit():
         MM.decode_png(raw[:-6])
     px, fmt, err = MM.decode_image(raw[:-6])
     assert (px, fmt, err) == (None, "png", "decode_failed:png_truncated:no_iend")
-    # interlaced flag -> rejected (Adam7 pass layout is not implemented)
+    # invalid interlace method -> rejected (0=null and 1=Adam7 decode)
     bad = bytearray(raw)
-    bad[8 + 8 + 12] = 1
-    with pytest.raises(ValueError, match="interlaced"):
+    bad[8 + 8 + 12] = 2
+    with pytest.raises(ValueError, match="interlace=2"):
         MM.decode_png(bytes(bad))
     # hand-built palette PNG (color type 3): indices resolve through PLTE
     idx = np.array([[0, 1], [2, 1]], dtype=np.uint8)
@@ -273,6 +273,82 @@ def test_png_roundtrip_unit():
     )
     out = MM.decode_png(gray_png)
     assert out.shape == (2, 2, 1) and out[1, 0, 0] == 255
+
+
+def test_png_extended_matrix_unit():
+    """PNG full-matrix decode: Adam7 interlace round-trips every filter;
+    16-bit samples keep the high byte (gray + RGB with a byte-level Up
+    filter); depth-1 gray rescales bits to 0/255; depth-4 palette indices
+    resolve through PLTE."""
+    import struct
+    import zlib
+
+    from valor_spark.operators.multimodal import _png_chunk, _PNG_MAGIC
+
+    rng = np.random.default_rng(9)
+    for h, w in [(1, 1), (5, 3), (17, 23)]:
+        for c in (1, 3):
+            img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+            for ft in range(5):
+                assert np.array_equal(
+                    MM.decode_png(MM.encode_png(img, ft, interlace=True)), img
+                ), ("adam7", h, w, c, ft)
+            alpha = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            assert np.array_equal(
+                MM.decode_png(MM.encode_png(img, 4, alpha=alpha, interlace=True)),
+                img,
+            )
+
+    def png(w, h, depth, ctype, chunks, scan):
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0))
+            + chunks
+            + _png_chunk(b"IDAT", zlib.compress(scan))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 16-bit gray: high byte kept, low byte (junk) dropped
+    h, w = 4, 5
+    v = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    rows = []
+    for y in range(h):
+        line = np.empty(w * 2, np.uint8)
+        line[0::2] = v[y]
+        line[1::2] = rng.integers(0, 256, w, dtype=np.uint8)
+        rows.append(b"\x00" + line.tobytes())
+    out = MM.decode_png(png(w, h, 16, 0, b"", b"".join(rows)))
+    assert np.array_equal(out[:, :, 0], v)
+    # 16-bit RGB filtered with Up at the byte level
+    c3 = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    stream = bytearray()
+    prev = np.zeros(w * 6, np.int32)
+    for y in range(h):
+        line = np.empty(w * 6, np.uint8)
+        line[0::2] = c3[y].reshape(-1)
+        line[1::2] = 77
+        stream.append(2)
+        stream.extend(((line.astype(np.int32) - prev) & 0xFF).astype(np.uint8).tobytes())
+        prev = line.astype(np.int32)
+    assert np.array_equal(MM.decode_png(png(w, h, 16, 2, b"", bytes(stream))), c3)
+    # depth-1 gray: bits -> 0/255
+    bits = rng.integers(0, 2, (3, 10), dtype=np.uint8)
+    rows = [b"\x00" + np.packbits(bits[y]).tobytes() for y in range(3)]
+    out = MM.decode_png(png(10, 3, 1, 0, b"", b"".join(rows)))
+    assert np.array_equal(out[:, :, 0], bits * 255)
+    # depth-4 palette
+    idx = rng.integers(0, 3, (4, 6), dtype=np.uint8)
+    rows = []
+    for y in range(4):
+        b_ = bytearray()
+        for i in range(0, 6, 2):
+            b_.append((idx[y, i] << 4) | idx[y, i + 1])
+        rows.append(b"\x00" + bytes(b_))
+    plte = bytes((10, 20, 30, 200, 0, 0, 0, 0, 250))
+    out = MM.decode_png(
+        png(6, 4, 4, 3, _png_chunk(b"PLTE", plte), b"".join(rows))
+    )
+    assert np.array_equal(out, np.frombuffer(plte, np.uint8).reshape(3, 3)[idx])
 
 
 def test_jpeg_roundtrip_unit():

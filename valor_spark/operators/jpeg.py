@@ -495,6 +495,10 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
             if sof is None:
                 raise ValueError("jpeg_truncated:sos_before_sof")
             ns = body[0]
+            if ns != len(sof[2]):
+                # per-component scans (legal baseline, rare) would need a
+                # multi-scan loop — reject rather than mis-decode
+                raise ValueError(f"jpeg_unsupported:multi_scan:{ns}")
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + si * 2], body[2 + si * 2]

@@ -2,9 +2,9 @@
 
 Audio is fully real (``valor_spark.operators.audio`` decodes PCM/WAV with
 numpy/stdlib).  Images: uncompressed **BMP (8/24-bit)**, binary **netpbm
-(PGM/PPM)**, non-interlaced 8-bit **PNG** (gray / RGB / palette /
-gray+alpha / RGBA, all five scanline filters; stdlib ``zlib`` + numpy
-unfiltering), and baseline **JPEG** (SOF0, 4:4:4/4:2:2/4:2:0, restart
+(PGM/PPM)**, **PNG** (gray / RGB / palette / gray+alpha / RGBA, bit
+depths 1/2/4/8/16, all five scanline filters, null AND Adam7 interlace;
+stdlib ``zlib`` + numpy unfiltering), and baseline **JPEG** (SOF0, 4:4:4/4:2:2/4:2:0, restart
 markers — ``valor_spark.operators.jpeg``, pure numpy + stdlib) are REAL
 decoders with real mean-intensity and block-average feature extraction.
 Video and the exotic still formats (progressive JPEG, WebP, ...) need
@@ -207,15 +207,64 @@ def _png_unfilter(kind: int, line: np.ndarray, prev: np.ndarray,
     raise ValueError(f"png_bad_filter:{kind}")
 
 
+#: Adam7 pass layout: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+#: legal bit depths per color type (PNG spec table 11.1)
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _unfilter_region(stream: bytes, off: int, w: int, h: int, nch: int,
+                     depth: int) -> tuple[np.ndarray, int]:
+    """Unfilter one (sub-)image region of ``w`` x ``h`` pixels starting at
+    ``off`` in the inflated stream -> ((h, w, nch) uint8 samples, bytes
+    consumed).  Filters operate on BYTES with bpp = max(1, nch*depth/8)
+    (PNG spec: sub-byte depths filter at bpp=1); 16-bit samples keep their
+    high byte (8-bit downscale), sub-byte samples unpack MSB-first
+    (palette indices and un-rescaled gray levels come out raw)."""
+    stride = -(-w * nch * depth // 8)
+    bpp = max(1, nch * depth // 8)
+    need = h * (stride + 1)
+    if len(stream) - off < need:
+        raise ValueError(f"png_truncated:{len(stream) - off}<{need}")
+    rows = np.frombuffer(stream, np.uint8, count=need, offset=off).reshape(
+        h, stride + 1
+    )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        prev = _png_unfilter(int(rows[y, 0]), rows[y, 1:], prev, bpp)
+        out[y] = prev
+    if depth == 16:
+        img = out.reshape(h, w * nch, 2)[:, :, 0]  # big-endian high byte
+        return np.ascontiguousarray(img).reshape(h, w, nch), need
+    if depth == 8:
+        return out.reshape(h, w, nch), need
+    # depth 1/2/4: MSB-first bit groups within each scanline byte
+    bits = np.unpackbits(out, axis=1)[:, : w * nch * depth]
+    samples = bits.reshape(h, w * nch, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (samples * weights).sum(axis=2).astype(np.uint8)
+    return vals.reshape(h, w, nch), need
+
+
 def decode_png(raw: bytes) -> np.ndarray:
-    """Non-interlaced 8-bit PNG -> (H, W, C) uint8 array via stdlib ``zlib``
+    """PNG -> (H, W, C) uint8 array via stdlib ``zlib``
     + numpy unfiltering.  Color types: 0 gray, 2 RGB, 3 palette (resolved
     through PLTE — grayscale palettes collapse to 1 channel, color palettes
     expand to RGB, mirroring the BMP palette path), 4 gray+alpha and 6 RGBA
     (alpha is STRIPPED from the returned pixels: features/metadata describe
-    color channels, matching the other decoders).  Bit depths != 8, Adam7
-    interlace, and a missing IEND (truncation) raise ValueError; chunk CRCs
-    are not verified (decode robustness, not integrity checking)."""
+    color channels, matching the other decoders).  Full baseline depth
+    matrix — 1/2/4/8/16 bits per sample (16-bit keeps the high byte;
+    sub-byte gray rescales to [0, 255]) — and BOTH interlace methods (null
+    and Adam7: each of the 7 sub-images unfilters independently and
+    scatters into place).  A missing IEND (truncation) raises ValueError;
+    chunk CRCs are not verified (decode robustness, not integrity
+    checking)."""
     if raw[:8] != _PNG_MAGIC:
         raise ValueError("not_png")
     pos, idat, plte, ihdr, saw_iend = 8, [], None, None, False
@@ -240,10 +289,11 @@ def decode_png(raw: bytes) -> np.ndarray:
     if not saw_iend:
         raise ValueError("png_truncated:no_iend")
     w, h, depth, ctype, comp, fmeth, interlace = ihdr
-    if depth != 8 or ctype not in _PNG_NCH or comp != 0 or fmeth != 0:
+    if ctype not in _PNG_NCH or depth not in _PNG_DEPTHS[ctype] or comp != 0 \
+            or fmeth != 0:
         raise ValueError(f"png_unsupported:depth={depth},ctype={ctype}")
-    if interlace != 0:
-        raise ValueError("png_unsupported:interlaced")
+    if interlace not in (0, 1):
+        raise ValueError(f"png_unsupported:interlace={interlace}")
     if w <= 0 or h <= 0 or not idat:
         raise ValueError("png_truncated:no_idat")
     try:
@@ -251,18 +301,23 @@ def decode_png(raw: bytes) -> np.ndarray:
     except zlib.error as exc:
         raise ValueError(f"png_bad_deflate:{exc}") from None
     nch = _PNG_NCH[ctype]
-    stride = w * nch
-    if len(stream) < h * (stride + 1):
-        raise ValueError(f"png_truncated:{len(stream)}<{h * (stride + 1)}")
-    rows = np.frombuffer(stream, np.uint8, count=h * (stride + 1)).reshape(
-        h, stride + 1
-    )
-    img = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        prev = _png_unfilter(int(rows[y, 0]), rows[y, 1:], prev, nch)
-        img[y] = prev
-    img = img.reshape(h, w, nch)
+    if interlace == 0:
+        img, _ = _unfilter_region(stream, 0, w, h, nch, depth)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        img = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = _unfilter_region(stream, off, pw, ph, nch, depth)
+            off += used
+            img[y0::dy, x0::dx] = sub
+    if ctype == 0 and depth in (1, 2, 4):  # rescale gray to full range
+        img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(
+            np.uint8
+        )
     if ctype == 3:  # palette indices -> colors through PLTE
         if plte is None:
             raise ValueError("png_palette_missing")
@@ -285,25 +340,14 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0,
-               alpha: np.ndarray | None = None) -> bytes:
-    """(H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 -> non-interlaced
-    8-bit PNG bytes, every scanline carrying ``filter_type`` (0-4) — the
-    synthesis side for tests/fixtures, exercising each unfilter path of
-    :func:`decode_png`.  ``alpha`` (H, W) uint8 adds an alpha plane (color
-    types 4/6), which the decoder strips back off."""
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, c = img.shape
-    assert c in (1, 3) and 0 <= filter_type <= 4
-    if alpha is not None:
-        img = np.concatenate([img, alpha[:, :, None]], axis=2)
-        c += 1
-    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+def _filter_scanlines(region: np.ndarray, filter_type: int) -> bytearray:
+    """(H, W, C) uint8 region -> filtered scanline bytes, every row
+    carrying ``filter_type`` (0-4)."""
+    h, w, c = region.shape
     stream = bytearray()
     prev = np.zeros(w * c, dtype=np.int32)
     for y in range(h):
-        line = img[y].reshape(-1).astype(np.int32)
+        line = region[y].reshape(-1).astype(np.int32)
         if filter_type == 0:
             filt = line
         elif filter_type == 1:
@@ -324,7 +368,36 @@ def encode_png(img: np.ndarray, filter_type: int = 0,
         stream.append(filter_type)
         stream.extend((filt & 0xFF).astype(np.uint8).tobytes())
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return stream
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0,
+               alpha: np.ndarray | None = None,
+               interlace: bool = False) -> bytes:
+    """(H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 -> 8-bit PNG bytes,
+    every scanline carrying ``filter_type`` (0-4) — the synthesis side for
+    tests/fixtures, exercising each unfilter path of :func:`decode_png`.
+    ``alpha`` (H, W) uint8 adds an alpha plane (color types 4/6), which
+    the decoder strips back off.  ``interlace=True`` emits Adam7 (each of
+    the 7 sub-images filtered independently)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    assert c in (1, 3) and 0 <= filter_type <= 4
+    if alpha is not None:
+        img = np.concatenate([img, alpha[:, :, None]], axis=2)
+        c += 1
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    if interlace:
+        stream = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                stream += _filter_scanlines(np.ascontiguousarray(sub),
+                                            filter_type)
+    else:
+        stream = _filter_scanlines(img, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1 if interlace else 0)
     return (
         _PNG_MAGIC
         + _png_chunk(b"IHDR", ihdr)

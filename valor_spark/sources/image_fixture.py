@@ -22,7 +22,8 @@ FEATURE_DIM = 4
 #: stale .fixtures can't grade new code against old ground truth)
 #: v2: PNG rows joined the encode cycle (all five scanline filters + alpha
 #: variants), exercising the real zlib+numpy PNG decoder end-to-end
-FIXTURE_VERSION = 2
+#: v3: every other PNG row is Adam7-interlaced
+FIXTURE_VERSION = 4
 
 
 def _round_half_up(v: float, digits: int) -> float:
@@ -67,11 +68,13 @@ def _encode(i: int, img: np.ndarray):
     if k in (0, 1):
         return encode_bmp(img), "bmp"
     if k == 3:
-        return encode_png(img, filter_type=i % 5), "png"
+        return encode_png(img, filter_type=i % 5,
+                          interlace=((i // 6) % 2 == 0)), "png"
     if k == 5:
         yy, xx = np.mgrid[0:h, 0:w]
         alpha = ((yy * 7 + xx * 3 + i) % 256).astype(np.uint8)
-        return encode_png(img, filter_type=(i * 2 + 1) % 5, alpha=alpha), "png"
+        return encode_png(img, filter_type=(i * 2 + 1) % 5, alpha=alpha,
+                          interlace=(i % 4 == 1)), "png"
     if color:
         return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes(), "ppm"
     return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes(), "pgm"
