@@ -80,6 +80,36 @@ def test_g711_decode_unit():
     assert err == "unsupported_codec:amr"
 
 
+def test_g711_wav_container_unit():
+    """RIFF/WAVE with format tag 6 (A-law) / 7 (mu-law): stdlib wave
+    rejects these, so the manual RIFF fallback must parse them — samples
+    via the LUTs, header rate surfaced like PCM WAVs."""
+    import struct
+
+    def g711_wav(tag: int, payload: bytes, rate: int = 8000) -> bytes:
+        fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(payload)) + payload
+                  + (b"\x00" if len(payload) % 2 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    t = np.arange(400)
+    src = (8000 * np.sin(2 * np.pi * t * 7 / 400)).astype(np.int16)
+    for tag, law in ((7, "mulaw"), (6, "alaw")):
+        raw = g711_wav(tag, A.encode_g711(src, law), rate=16000)
+        sig, rate, err = A.decode_one(raw, "wav")
+        assert err is None and rate == 16000 and len(sig) == 400
+        assert A.snr_db(sig, src) >= 33.0, law
+    # stereo / wrong-bits G.711 layouts rejected explicitly
+    bad = g711_wav(7, b"\x00" * 10)
+    bad = bad.replace(struct.pack("<HH", 7, 1), struct.pack("<HH", 7, 2), 1)
+    _, _, err = A.decode_one(bad, "wav")
+    assert err == "unsupported_wav_layout:tag=7,ch=2,bits=8"
+    # truly unknown tag still errors
+    _, _, err = A.decode_one(g711_wav(3, b"\x00" * 8), "wav")
+    assert err == "unsupported_wav_layout:tag=3,ch=1,bits=8"
+
+
 def test_g711_clip_passes_audio_invariant(spark):
     """The real re-containering scenario: a clip delivered as pcm_mulaw
     whose reference is the original int16 PCM passes the SNR >= 30 dB gate

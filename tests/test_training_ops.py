@@ -351,6 +351,43 @@ def test_png_extended_matrix_unit():
     assert np.array_equal(out, np.frombuffer(plte, np.uint8).reshape(3, 3)[idx])
 
 
+def test_decoder_fuzz_never_raises_unit():
+    """decode_image's error contract: ANY mutation of a valid payload (bit
+    flips, truncations, random tails behind a real magic) must come back
+    as (None, fmt, error-string) — never an uncaught exception, which
+    would kill the whole Arrow batch in production."""
+    rng = np.random.default_rng(21)
+    from valor_spark.operators.jpeg import encode_jpeg
+
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    seeds = [
+        MM.encode_png(img, 4),
+        MM.encode_png(img, 2, interlace=True),
+        MM.encode_bmp(img),
+        encode_jpeg(img, quality=80),
+        encode_jpeg(img, quality=80, subsampling="4:2:0", restart_interval=1),
+        b"P6 7 9 255\n" + img.tobytes(),
+    ]
+    n_err = 0
+    for seed in seeds:
+        for trial in range(40):
+            buf = bytearray(seed)
+            kind = trial % 3
+            if kind == 0:  # truncate
+                buf = buf[: int(rng.integers(1, len(buf)))]
+            elif kind == 1:  # flip random bytes
+                for _ in range(int(rng.integers(1, 6))):
+                    buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+            else:  # garbage tail
+                buf = buf + bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+            px, fmt, err = MM.decode_image(bytes(buf))
+            assert isinstance(fmt, str)
+            if err is not None:
+                n_err += 1
+                assert px is None and isinstance(err, str)
+    assert n_err > 50  # the mutations really do exercise the error paths
+
+
 def test_jpeg_roundtrip_unit():
     """Real baseline JPEG codec (pure numpy + stdlib, ITU-T T.81): encode->
     decode reconstructs the SOURCE pixels within JPEG-typical PSNR bounds

@@ -10,8 +10,10 @@ Codecs supported without external audio libs (none are installed):
 ``pcm_s16le`` via ``numpy.frombuffer``, ``wav`` via stdlib ``wave``, and
 the G.711 telephony codecs ``pcm_mulaw`` / ``pcm_alaw`` via 256-entry
 lookup tables (ITU-T G.711 segment expansion — one vectorized gather per
-clip).  Unknown codecs produce a decode error (and are separately flagged
-by the codec-whitelist row rule).
+clip), both raw and inside WAV containers (format tags 6/7, which stdlib
+``wave`` rejects — a manual RIFF walk handles them).  Unknown codecs
+produce a decode error (and are separately flagged by the codec-whitelist
+row rule).
 
 Scale notes (100 TB of audio):
 
@@ -28,6 +30,7 @@ Scale notes (100 TB of audio):
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
@@ -85,6 +88,38 @@ def encode_g711(samples: np.ndarray, law: str) -> bytes:
     return order[idx].astype(np.uint8).tobytes()
 
 
+def _wav_g711_fallback(
+    raw: bytes,
+) -> tuple[np.ndarray | None, int | None, str | None]:
+    """RIFF/WAVE with G.711 payloads (format tag 6 = A-law, 7 = mu-law):
+    stdlib ``wave`` rejects non-PCM format tags, so telephony WAVs parse
+    here — a manual chunk walk (fmt + data, odd sizes padded) and the same
+    LUT expansion as the raw codecs.  Returns (samples, header_rate, None)
+    or (None, None, error)."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        return None, None, "decode_failed:not_riff_wave"
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            return None, None, "decode_failed:wav_chunk_truncated"
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
+    if fmt is None or len(fmt) < 16 or data is None:
+        return None, None, "decode_failed:wav_missing_chunks"
+    tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
+    (bits,) = struct.unpack_from("<H", fmt, 14)
+    if tag not in (6, 7) or nch != 1 or bits != 8:
+        return None, None, f"unsupported_wav_layout:tag={tag},ch={nch},bits={bits}"
+    lut = ALAW_DECODE_LUT if tag == 6 else ULAW_DECODE_LUT
+    return lut[np.frombuffer(data, np.uint8)], rate, None
+
+
 def decode_one(
     raw: bytes | None, codec: str | None
 ) -> tuple[np.ndarray | None, int | None, str | None]:
@@ -98,12 +133,16 @@ def decode_one(
                 return None, None, "odd_byte_length"
             return np.frombuffer(raw, dtype="<i2"), None, None
         if codec == "wav":
-            with wave.open(io.BytesIO(raw), "rb") as w:
-                if w.getsampwidth() != 2 or w.getnchannels() != 1:
-                    return None, None, "unsupported_wav_layout"
-                rate = w.getframerate()
-                frames = w.readframes(w.getnframes())
-            return np.frombuffer(frames, dtype="<i2"), rate, None
+            try:
+                with wave.open(io.BytesIO(raw), "rb") as w:
+                    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                        return None, None, "unsupported_wav_layout"
+                    rate = w.getframerate()
+                    frames = w.readframes(w.getnframes())
+                return np.frombuffer(frames, dtype="<i2"), rate, None
+            except wave.Error:
+                # non-PCM format tag: telephony G.711 containers land here
+                return _wav_g711_fallback(raw)
         if codec == "pcm_mulaw":
             return ULAW_DECODE_LUT[np.frombuffer(raw, np.uint8)], None, None
         if codec == "pcm_alaw":

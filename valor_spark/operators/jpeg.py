@@ -502,8 +502,10 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + si * 2], body[2 + si * 2]
-                comp = next(c for c in sof[2] if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0x0F))
+                matches = [c for c in sof[2] if c["id"] == cs]
+                if not matches:
+                    raise ValueError(f"jpeg_bad_scan_component:{cs}")
+                scan.append((matches[0], tt >> 4, tt & 0x0F))
             pos = pos + 2 + seglen
             break
         elif marker == 0xD9:
@@ -537,6 +539,11 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
                     for bx in range(comp["h"]):
                         zz = np.zeros(64, np.int64)
                         t = _huff_decode(reader, dc_lut)
+                        if t > 15:
+                            # only possible via a corrupt DHT: spec DC
+                            # categories stop at 11; an unchecked t would
+                            # read t bits into an unbounded magnitude
+                            raise ValueError(f"jpeg_bad_dc_category:{t}")
                         diff = _extend(reader.read(t), t) if t else 0
                         prev_dc[comp["id"]] += diff
                         zz[0] = prev_dc[comp["id"]]

@@ -275,6 +275,8 @@ def decode_png(raw: bytes) -> np.ndarray:
         if len(data) < ln:
             raise ValueError("png_truncated:chunk")
         if typ == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"png_bad_ihdr:{len(data)}")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             plte = np.frombuffer(data, np.uint8)[: (ln // 3) * 3].reshape(-1, 3)
@@ -421,7 +423,9 @@ def decode_image(raw: bytes):
             from valor_spark.operators.jpeg import decode_jpeg
 
             return decode_jpeg(raw), "jpeg", None
-    except ValueError as exc:
+    # struct.error: a mutated header passed the magic check but broke a
+    # fixed-layout unpack — same contract as any other malformed payload
+    except (ValueError, struct.error) as exc:
         fmt = ("bmp" if raw[:2] == b"BM"
                else "png" if raw[:8] == _PNG_MAGIC
                else "jpeg" if raw[:2] == b"\xff\xd8" else "pnm")
