@@ -11,7 +11,9 @@ Codecs supported without external audio libs (none are installed):
 the G.711 telephony codecs ``pcm_mulaw`` / ``pcm_alaw`` via 256-entry
 lookup tables (ITU-T G.711 segment expansion — one vectorized gather per
 clip), both raw and inside WAV containers (format tags 6/7, which stdlib
-``wave`` rejects — a manual RIFF walk handles them).  Unknown codecs
+``wave`` rejects — a manual RIFF walk handles them), and IMA/DVI ADPCM
+WAV containers (format tag 0x11, block-vectorized decode in
+operators/adpcm.py).  Unknown codecs
 produce a decode error (and are separately flagged by the codec-whitelist
 row rule).
 
@@ -37,6 +39,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from valor_spark.operators.adpcm import decode_ima_adpcm
 
 SNR_DB_MIN = 30.0
 
@@ -88,17 +92,18 @@ def encode_g711(samples: np.ndarray, law: str) -> bytes:
     return order[idx].astype(np.uint8).tobytes()
 
 
-def _wav_g711_fallback(
+def _wav_nonpcm_fallback(
     raw: bytes,
 ) -> tuple[np.ndarray | None, int | None, str | None]:
-    """RIFF/WAVE with G.711 payloads (format tag 6 = A-law, 7 = mu-law):
-    stdlib ``wave`` rejects non-PCM format tags, so telephony WAVs parse
-    here — a manual chunk walk (fmt + data, odd sizes padded) and the same
-    LUT expansion as the raw codecs.  Returns (samples, header_rate, None)
-    or (None, None, error)."""
+    """RIFF/WAVE with non-PCM payloads — G.711 (format tag 6 = A-law, 7 =
+    mu-law) and IMA/DVI ADPCM (tag 0x11): stdlib ``wave`` rejects non-PCM
+    format tags, so compressed containers parse here — a manual chunk walk
+    (fmt + fact + data, odd sizes padded), then the per-codec expansion
+    (G.711 LUT gather; block-vectorized ADPCM via operators/adpcm.py).
+    Returns (samples, header_rate, None) or (None, None, error)."""
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         return None, None, "decode_failed:not_riff_wave"
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact = 12, None, None, None
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", raw, pos + 4)
@@ -109,15 +114,29 @@ def _wav_g711_fallback(
             fmt = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact":
+            fact = body
         pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
     if fmt is None or len(fmt) < 16 or data is None:
         return None, None, "decode_failed:wav_missing_chunks"
     tag, nch, rate = struct.unpack_from("<HHI", fmt, 0)
-    (bits,) = struct.unpack_from("<H", fmt, 14)
-    if tag not in (6, 7) or nch != 1 or bits != 8:
-        return None, None, f"unsupported_wav_layout:tag={tag},ch={nch},bits={bits}"
-    lut = ALAW_DECODE_LUT if tag == 6 else ULAW_DECODE_LUT
-    return lut[np.frombuffer(data, np.uint8)], rate, None
+    block_align, bits = struct.unpack_from("<HH", fmt, 12)
+    if tag in (6, 7):
+        if nch != 1 or bits != 8:
+            return None, None, f"unsupported_wav_layout:tag={tag},ch={nch},bits={bits}"
+        lut = ALAW_DECODE_LUT if tag == 6 else ULAW_DECODE_LUT
+        return lut[np.frombuffer(data, np.uint8)], rate, None
+    if tag == 0x11:
+        if nch != 1 or bits != 4:
+            return None, None, f"unsupported_wav_layout:tag=17,ch={nch},bits={bits}"
+        total = None
+        if fact is not None and len(fact) >= 4:
+            (total,) = struct.unpack_from("<I", fact, 0)
+        try:
+            return decode_ima_adpcm(data, block_align, total), rate, None
+        except ValueError as exc:
+            return None, None, f"decode_failed:{exc}"
+    return None, None, f"unsupported_wav_layout:tag={tag},ch={nch},bits={bits}"
 
 
 def decode_one(
@@ -141,8 +160,8 @@ def decode_one(
                     frames = w.readframes(w.getnframes())
                 return np.frombuffer(frames, dtype="<i2"), rate, None
             except wave.Error:
-                # non-PCM format tag: telephony G.711 containers land here
-                return _wav_g711_fallback(raw)
+                # non-PCM format tag: G.711 / IMA-ADPCM containers land here
+                return _wav_nonpcm_fallback(raw)
         if codec == "pcm_mulaw":
             return ULAW_DECODE_LUT[np.frombuffer(raw, np.uint8)], None, None
         if codec == "pcm_alaw":

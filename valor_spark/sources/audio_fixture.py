@@ -35,7 +35,8 @@ N_HEADER_MISMATCH = 5
 #: bump when the expected-violation DERIVATION logic changes — the version
 #: and the constants are baked into the fixture filenames, so a stale
 #: .fixtures dir can never grade new code against old ground truth
-FIXTURE_VERSION = 1
+#: (v2: compressed-codec plants — G.711 raw + WAV-contained, IMA ADPCM)
+FIXTURE_VERSION = 2
 
 
 def _fixture_tag() -> str:
@@ -94,6 +95,115 @@ def _expected_for(spec: ClipSpec) -> list[tuple[str, str]]:
     return out
 
 
+def _codec_plants() -> list[dict]:
+    """Compressed-codec plant rows exercising decode_one's fallback paths
+    (raw G.711 mu/A-law, G.711-in-WAV tag 6, IMA ADPCM tag 0x11) through
+    EVERY audio gate row — the invariant, profile, segments, spectrum and
+    dedup oracles all replay these via the ``decoded`` field.
+
+    ``decoded`` is derived through the SAME codec decoders the engine uses
+    (honest shared derivation of the lossy reconstruction — the independent
+    checks are the SNR-vs-ORIGINAL-reference gate below, whose reference
+    predates the encode, and the codec unit tests' scalar cross-checks /
+    table landmarks in tests/test_audio.py).  Violations mirror the engine's
+    rule order: decode -> length -> SNR -> transcript -> header rate."""
+    import numpy as np
+
+    from valor_spark.operators import adpcm as AD
+    from valor_spark.operators.audio import (
+        ALAW_DECODE_LUT,
+        ULAW_DECODE_LUT,
+        encode_g711,
+        snr_db,
+    )
+
+    def g711_wav(tag: int, payload: bytes, rate: int) -> bytes:
+        import struct
+
+        fmt = struct.pack("<HHIIHH", tag, 1, rate, rate, 1, 8)
+        chunks = b""
+        for cid, body in ((b"fmt ", fmt), (b"data", payload)):
+            chunks += cid + struct.pack("<I", len(body)) + body
+            if len(body) & 1:
+                chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    plants: list[dict] = []
+
+    def add(cid, raw, sr, codec, ref_pcm, decoded, extra_viol=()):
+        viols = []
+        if ref_pcm is not None:
+            v = snr_db(decoded, ref_pcm)
+            if v < SNR_DB_MIN:
+                viols.append(("audio_snr", f"SnrBelowThreshold:{_spark_round_str(v)}"))
+        viols.extend(extra_viol)
+        plants.append(
+            dict(
+                clip_id=cid,
+                bytes=raw,
+                sr_hz=sr,
+                dur_ms=len(decoded) * 1000 // sr if sr else 0,
+                codec=codec,
+                transcript="codec plant",
+                ref_pcm=ref_pcm,
+                decoded=decoded,
+                violations=viols,
+            )
+        )
+
+    t = np.arange(2048)
+    # raw G.711: companded sine vs original reference clears the 30 dB gate
+    src = (11000 * np.sin(2 * np.pi * t * 37 / 2048)).astype(np.int16)
+    for law, codec, lut in (
+        ("mulaw", "pcm_mulaw", ULAW_DECODE_LUT),
+        ("alaw", "pcm_alaw", ALAW_DECODE_LUT),
+    ):
+        enc = encode_g711(src, law)
+        add(f"g711_{law}", enc, 16000, codec, src, lut[np.frombuffer(enc, np.uint8)])
+    # G.711 A-law inside a WAV container (format tag 6), header-consistent
+    enc = encode_g711(src, "alaw")
+    add(
+        "g711_wav6",
+        g711_wav(6, enc, 16000),
+        16000,
+        "wav",
+        src,
+        ALAW_DECODE_LUT[np.frombuffer(enc, np.uint8)],
+    )
+    # IMA ADPCM, smooth low-frequency content: lossy but above the SNR gate
+    src = (15000 * np.sin(2 * np.pi * t * 19 / 2048)).astype(np.int16)
+    enc = AD.wav_ima_adpcm(src, rate=16000, block_align=256)
+    add("adpcm_ok", enc, 16000, "wav", src, _adpcm_decoded(enc, len(src)))
+    # IMA ADPCM, harsh wideband content: 4-bit slope overload -> SNR < 30
+    rng = np.random.default_rng(97)
+    src = rng.integers(-28000, 28000, 2048).astype(np.int16)
+    enc = AD.wav_ima_adpcm(src, rate=16000, block_align=256)
+    add("adpcm_snr", enc, 16000, "wav", src, _adpcm_decoded(enc, len(src)))
+    # IMA ADPCM with a header/metadata rate mismatch
+    src = (15000 * np.sin(2 * np.pi * t * 19 / 2048)).astype(np.int16)
+    enc = AD.wav_ima_adpcm(src, rate=8000, block_align=256)
+    add(
+        "adpcm_hdr",
+        enc,
+        16000,
+        "wav",
+        src,
+        _adpcm_decoded(enc, len(src)),
+        extra_viol=[("sr_header_consistent", "SampleRateHeaderMismatch:8000!=16000")],
+    )
+    return plants
+
+
+def _adpcm_decoded(wav_bytes: bytes, n: int):
+    """Decode a tag-0x11 container back to PCM for the oracle side (same
+    decoder the engine dispatches to — see _codec_plants docstring)."""
+    from valor_spark.operators.audio import decode_one
+
+    pcm, _, err = decode_one(wav_bytes, "wav")
+    assert err is None and len(pcm) == n, (err, len(pcm) if pcm is not None else None, n)
+    return pcm
+
+
 def build_audio_fixture(fixture_dir: str) -> dict[str, str]:
     """Write the three parquets (idempotent); returns their paths."""
     import pyarrow as pa
@@ -143,6 +253,18 @@ def build_audio_fixture(fixture_dir: str) -> dict[str, str]:
         expected_rows.append(
             (cid, "sr_header_consistent", "SampleRateHeaderMismatch:8000!=16000")
         )
+
+    # compressed-codec plants (G.711 raw + WAV tag 6, IMA ADPCM tag 0x11)
+    for p in _codec_plants():
+        clips_rows.append(
+            (p["clip_id"], p["bytes"], p["sr_hz"], p["dur_ms"], p["codec"],
+             p["transcript"])
+        )
+        ref_rows.append(
+            (p["clip_id"], p["ref_pcm"].astype("<i2").tobytes(), p["transcript"])
+        )
+        for rule, error in p["violations"]:
+            expected_rows.append((p["clip_id"], rule, error))
 
     pq.write_table(
         pa.table(
@@ -242,6 +364,8 @@ def build_audio_profile_fixture(fixture_dir: str) -> str:
     for k in range(N_HEADER_MISMATCH):
         pcm = np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2")
         add(f"hdrmm_{k}", _profile_int_stats(pcm, PROFILE_SILENCE_THRESHOLD), None)
+    for p in _codec_plants():
+        add(p["clip_id"], _profile_int_stats(p["decoded"], PROFILE_SILENCE_THRESHOLD), None)
 
     cols = list(zip(*rows))
     pq.write_table(
@@ -314,6 +438,8 @@ def build_audio_segments_fixture(fixture_dir: str) -> str:
         add(sp.clip_id, pcm)
     for k in range(N_HEADER_MISMATCH):
         add(f"hdrmm_{k}", np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2"))
+    for p in _codec_plants():
+        add(p["clip_id"], p["decoded"])
 
     cols = list(zip(*rows)) if rows else ([], [], [], [])
     pq.write_table(
@@ -376,6 +502,8 @@ def build_audio_spectrum_fixture(fixture_dir: str) -> str:
         # the engine converts bins with the METADATA rate (16000), not the
         # planted WAV header rate — sr_header_consistent owns that mismatch
         rows.append((f"hdrmm_{k}", *_spectrum_for(pcm, 16000), None))
+    for p in _codec_plants():
+        rows.append((p["clip_id"], *_spectrum_for(p["decoded"], p["sr_hz"]), None))
 
     cols = list(zip(*rows))
     pq.write_table(
@@ -428,6 +556,11 @@ def build_audio_dedup_fixture(fixture_dir: str) -> str:
         pcm = np.arange(-32 * (k + 1), 32 * (k + 1), k + 1, dtype="<i2")
         h = hashlib.md5(np.ascontiguousarray(pcm, "<i2").tobytes()).hexdigest()
         groups[h].append(f"hdrmm_{k}")
+    for p in _codec_plants():
+        h = hashlib.md5(
+            np.ascontiguousarray(p["decoded"], "<i2").tobytes()
+        ).hexdigest()
+        groups[h].append(p["clip_id"])
 
     rows = [
         (h, len(ids), min(ids)) for h, ids in groups.items() if len(ids) > 1
