@@ -366,6 +366,7 @@ def test_decoder_fuzz_never_raises_unit():
         MM.encode_bmp(img),
         encode_jpeg(img, quality=80),
         encode_jpeg(img, quality=80, subsampling="4:2:0", restart_interval=1),
+        encode_jpeg(img, quality=80, progressive=True),
         b"P6 7 9 255\n" + img.tobytes(),
     ]
     n_err = 0
@@ -423,10 +424,95 @@ def test_jpeg_roundtrip_unit():
     for cut in (len(raw) // 2, 30, 3):
         with pytest.raises(ValueError):
             J.decode_jpeg(raw[:cut])
-    with pytest.raises(ValueError, match="unsupported:sof"):
-        # flip SOF0 -> SOF2 (progressive): must be rejected, not garbled
+    with pytest.raises(ValueError, match="bad_progression"):
+        # flip SOF0 -> SOF2: the sequential full-band scan header is
+        # illegal under progressive rules — a clean error, not garbling
         i = raw.index(b"\xff\xc0")
         J.decode_jpeg(raw[:i] + b"\xff\xc2" + raw[i + 2 :])
+    with pytest.raises(ValueError, match="unsupported:sof"):
+        # lossless SOF3 stays rejected
+        i = raw.index(b"\xff\xc0")
+        J.decode_jpeg(raw[:i] + b"\xff\xc3" + raw[i + 2 :])
+
+
+def test_jpeg_progressive_unit():
+    """Progressive JPEG (SOF2): the encoder emits the same quantized
+    coefficients as baseline through a two-level scan script (interleaved
+    DC first Al=1, DC refinement, per-component AC first with a luma band
+    split, AC refinements with correction bits and EOB runs), so the
+    progressive decode must equal the baseline decode BIT-EXACTLY — two
+    completely different entropy layouts converging on identical pixels is
+    the strongest cross-check the decoder can get."""
+    rng = np.random.default_rng(8)
+    from valor_spark.operators import jpeg as J
+
+    def make(h, w, c):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (128 + 60 * np.sin(yy / 9) + 50 * np.cos(xx / 13)).astype(float)
+        img = np.stack(
+            [base + 20 * np.sin((xx + yy) / (7 + i)) for i in range(c)], axis=2
+        )
+        return np.clip(img + rng.normal(0, 6, img.shape), 0, 255).astype(np.uint8)
+
+    for h, w, c, sub in (
+        (40, 56, 3, "4:4:4"),
+        (33, 41, 3, "4:2:0"),
+        (24, 24, 1, "4:4:4"),
+        (17, 9, 3, "4:4:4"),
+    ):
+        img = make(h, w, c)
+        base = J.decode_jpeg(J.encode_jpeg(img, 85, subsampling=sub))
+        prog = J.decode_jpeg(
+            J.encode_jpeg(img, 85, subsampling=sub, progressive=True)
+        )
+        assert np.array_equal(base, prog), (h, w, c, sub)
+
+    # flat image + one dot: AC bands are mostly empty -> multi-block EOB
+    # runs MUST be taken on decode (guard against a silently-dead path)
+    img = np.full((48, 64, 3), 77, np.uint8)
+    img[20, 30] = (250, 10, 10)
+    enc = J.encode_jpeg(img, 85, progressive=True)
+    assert np.array_equal(J.decode_jpeg(enc), J.decode_jpeg(J.encode_jpeg(img, 85)))
+    orig = J._block_ac_first
+    runs = []
+
+    def spy(reader, ac_lut, zz, ss, se, al, eobrun):
+        before = eobrun[0]
+        orig(reader, ac_lut, zz, ss, se, al, eobrun)
+        if before == 0 and eobrun[0] > 1:
+            runs.append(eobrun[0])
+
+    J._block_ac_first = spy
+    try:
+        J.decode_jpeg(enc)
+    finally:
+        J._block_ac_first = orig
+    assert runs and max(runs) > 1
+
+    # per-component sequential scans (legal-but-rare baseline layout)
+    for h, w, c in ((40, 56, 3), (24, 24, 1)):
+        img = make(h, w, c)
+        assert np.array_equal(
+            J.decode_jpeg(J.encode_jpeg(img, 85)),
+            J.decode_jpeg(J.encode_jpeg(img, 85, per_component_scans=True)),
+        )
+
+    # truncations / corruptions of progressive streams: clean errors only
+    n_err = 0
+    for trial in range(120):
+        buf = bytearray(enc)
+        if trial % 3 == 0:
+            buf = buf[: int(rng.integers(2, len(buf)))]
+        elif trial % 3 == 1:
+            for _ in range(int(rng.integers(1, 8))):
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        else:
+            del buf[int(rng.integers(0, len(buf)))]
+        try:
+            J.decode_jpeg(bytes(buf))
+        except ValueError:
+            n_err += 1
+    assert n_err > 60
 
 
 def test_jpeg_hand_built_bitstream_unit():

@@ -226,15 +226,170 @@ def _quant_zigzag(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     ]
 
 
+class _SymCollector:
+    """Pre-pass sink: records which Huffman symbols a scan will emit so a
+    (uniform-length canonical) table can be built before the real pass."""
+
+    def __init__(self) -> None:
+        self.syms: set[int] = set()
+
+    def sym(self, s: int) -> None:
+        self.syms.add(s)
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _SymWriter:
+    def __init__(self, codes: dict, bw: _BitWriter) -> None:
+        self.codes, self.bw = codes, bw
+
+    def sym(self, s: int) -> None:
+        ln, code = self.codes[s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        self.bw.write(v, n)
+
+
+def _uniform_dht(syms: set[int]) -> tuple[list[int], list[int], dict]:
+    """All observed symbols at one canonical code length (9 bits covers the
+    full 256-symbol space without ever assigning the all-ones code).  Valid,
+    deterministic, and table-build-free — compression is not the point of
+    the fixture encoder; the decoder reads whatever DHT says."""
+    vals = sorted(syms) or [0x00]
+    if len(vals) > 256:
+        raise ValueError("jpeg_encode_symbol_overflow")
+    length = 9
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    codes = {sym: (length, i) for i, sym in enumerate(vals)}
+    return bits, vals, codes
+
+
+def _emit_ac_first(zzc: np.ndarray, bh: int, bwid: int, ss: int, se: int,
+                   al: int, w) -> None:
+    """Progressive AC first scan over one component's block grid (T.81
+    G.1.2.2): band coefficients at reduced precision + end-of-band runs."""
+    eob = 0
+    for by in range(bh):
+        for bx in range(bwid):
+            row = zzc[by, bx]
+            run = 0
+            emitted = False
+            for k in range(ss, se + 1):
+                v = int(row[k])
+                v = -((-v) >> al) if v < 0 else v >> al  # toward-zero
+                if v == 0:
+                    run += 1
+                    continue
+                if eob:  # a preceding end-of-band run ends here
+                    r = eob.bit_length() - 1
+                    w.sym(r << 4)
+                    w.bits(eob - (1 << r), r)
+                    eob = 0
+                while run > 15:
+                    w.sym(0xF0)
+                    run -= 16
+                t, bits = _magnitude(v)
+                w.sym((run << 4) | t)
+                w.bits(bits, t)
+                run = 0
+                emitted = True
+            if run > 0 or not emitted:
+                eob += 1
+                if eob == 0x7FFF:
+                    w.sym(14 << 4)
+                    w.bits(eob - (1 << 14), 14)
+                    eob = 0
+    if eob:
+        r = eob.bit_length() - 1
+        w.sym(r << 4)
+        w.bits(eob - (1 << r), r)
+
+
+def _emit_ac_refine(zzc: np.ndarray, bh: int, bwid: int, ss: int, se: int,
+                    al: int, w) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): correction bits for
+    history-nonzero coefficients ride after the symbol that ends their run
+    (or after the buffered end-of-band run)."""
+    eob = 0
+    be: list[int] = []  # correction bits pending with the buffered EOB run
+
+    def flush_eob() -> None:
+        nonlocal eob
+        if eob:
+            r = eob.bit_length() - 1
+            w.sym(r << 4)
+            w.bits(eob - (1 << r), r)
+            for bbit in be:
+                w.bits(bbit, 1)
+            be.clear()
+            eob = 0
+
+    for by in range(bh):
+        for bx in range(bwid):
+            row = zzc[by, bx]
+            absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+            eobpos = -1  # band-relative index of the last NEWLY-significant
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eobpos = i
+            r = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    flush_eob()
+                    w.sym(0xF0)
+                    r -= 16
+                    for bbit in br:
+                        w.bits(bbit, 1)
+                    br = []
+                if t > 1:  # history-nonzero: one buffered correction bit
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                w.sym((r << 4) | 1)
+                w.bits(1 if int(row[ss + i]) > 0 else 0, 1)
+                for bbit in br:
+                    w.bits(bbit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eob += 1
+                be.extend(br)
+                if eob == 0x7FFF or len(be) > 930:
+                    flush_eob()
+    flush_eob()
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 85,
                 subsampling: str = "4:4:4",
-                restart_interval: int = 0) -> bytes:
+                restart_interval: int = 0,
+                progressive: bool = False,
+                per_component_scans: bool = False) -> bytes:
     """(H, W) / (H, W, 1) gray or (H, W, 3) RGB uint8 -> baseline JFIF
     bytes (Annex K tables scaled by ``quality``).  ``subsampling``:
     ``"4:4:4"`` (one block per component per MCU) or ``"4:2:0"`` (chroma
     2x2-averaged; MCU = 4 Y + Cb + Cr blocks).  ``restart_interval`` > 0
     emits a DRI segment and RSTn markers every that-many MCUs (DC
-    predictors reset) — exercising the decoder's restart path."""
+    predictors reset) — exercising the decoder's restart path.
+
+    ``progressive=True`` emits SOF2 with a two-level scan script covering
+    all four progressive scan types — interleaved DC first (Al=1), DC
+    refinement, per-component AC first with a spectral band split on the
+    luma, and the matching AC refinements — with per-scan DHT redefinition
+    (uniform-length canonical tables, since the Annex K tables lack the
+    EOB-run symbols progressive entropy coding needs).  The coefficients
+    are the same quantized values the baseline path would code, so a full
+    progressive decode must reproduce the baseline decode EXACTLY.
+
+    ``per_component_scans=True`` (sequential only, 4:4:4/gray) emits one
+    full-precision scan per component — the legal-but-rare multi-scan
+    baseline layout."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
@@ -287,33 +442,29 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         samp = [(1, 1)] * c
     mcuy, mcux = ph // mcu_px, pw // mcu_px
     codes = [(dc_lum, ac_lum)] + [(dc_chrom, ac_chrom)] * (c - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    assert not (progressive and (restart_interval or per_component_scans))
+    assert not (per_component_scans and sub)
 
-    bw = _BitWriter()
-    prev = [0] * c
-    mcu_count = 0
-    rst_n = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes((0xFF, 0xD0 + rst_n))
-                rst_n = (rst_n + 1) % 8
-                prev = [0] * c
-            mcu_count += 1
-            for ci in range(c):
-                hi, vi = samp[ci]
-                dc_codes, ac_codes = codes[ci]
-                for by in range(vi):
-                    for bx in range(hi):
-                        row = zz[ci][my * vi + by, mx * hi + bx]
-                        prev[ci] = _emit_block(
-                            row, prev[ci], dc_codes, ac_codes, bw
-                        )
-    bw.flush()
+    def comp_grid(ci: int) -> tuple[int, int]:
+        hi, vi = samp[ci]
+        return _comp_block_grid({"h": hi, "v": vi}, hmax, vmax, h, w)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(
+            0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        )
+
+    def sos_seg(comp_tabs: list[tuple[int, int, int]], ss: int, se: int,
+                ah: int, al: int) -> bytes:
+        body = bytes([len(comp_tabs)])
+        for ci, td, ta in comp_tabs:
+            body += bytes((ci + 1, (td << 4) | ta))
+        return seg(0xFFDA, body + bytes((ss, se, (ah << 4) | al)))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -326,25 +477,115 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
     for ci in range(c):
         hi, vi = samp[ci]
         sof += bytes((ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1))
-    out += seg(0xFFC0, sof)
-
-    def dht(tclass: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
-        return seg(
-            0xFFC4, bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
-        )
-
+    out += seg(0xFFC2 if progressive else 0xFFC0, sof)
     out += dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
-    out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
     if c == 3:
         out += dht(0, 1, DC_CHROM_BITS, DC_CHROM_VALS)
-        out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
+    if not progressive:
+        out += dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+        if c == 3:
+            out += dht(1, 1, AC_CHROM_BITS, AC_CHROM_VALS)
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    sos = bytes([c]) + b"".join(
-        bytes((ci + 1, 0x00 if ci == 0 else 0x11)) for ci in range(c)
-    ) + b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    out += bw.out
+
+    if progressive:
+        # --- scan 1: DC first, all components interleaved, Al=1 ---------
+        bw = _BitWriter()
+        prev = [0] * c
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(c):
+                    hi, vi = samp[ci]
+                    dc_codes = codes[ci][0]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(zz[ci][my * vi + by, mx * hi + bx, 0]) >> 1
+                            t, bits = _magnitude(v - prev[ci])
+                            prev[ci] = v
+                            ln, code = dc_codes[t]
+                            bw.write(code, ln)
+                            bw.write(bits, t)
+        bw.flush()
+        out += sos_seg([(ci, 0 if ci == 0 else 1, 0) for ci in range(c)],
+                       0, 0, 0, 1)
+        out += bw.out
+        # --- scan 2: DC refinement (raw bits, Ah=1 -> Al=0) --------------
+        bw = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(c):
+                    hi, vi = samp[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            bw.write(int(zz[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1)
+        bw.flush()
+        out += sos_seg([(ci, 0, 0) for ci in range(c)], 0, 0, 1, 0)
+        out += bw.out
+        # --- AC scans: first (Al=1) then refine, luma band split ---------
+        ac_scans = []
+        for refine in (False, True):
+            for ci in range(c):
+                bands = [(1, 5), (6, 63)] if ci == 0 else [(1, 63)]
+                for ss_, se_ in bands:
+                    ac_scans.append((ci, ss_, se_, refine))
+        for ci, ss_, se_, refine in ac_scans:
+            bh_, bw_blocks = comp_grid(ci)
+            emit = _emit_ac_refine if refine else _emit_ac_first
+            coll = _SymCollector()
+            emit(zz[ci], bh_, bw_blocks, ss_, se_, 1 if not refine else 0, coll)
+            bits, vals, sym_codes = _uniform_dht(coll.syms)
+            out += dht(1, 0, bits, vals)  # redefine AC slot 0 per scan
+            bw = _BitWriter()
+            emit(zz[ci], bh_, bw_blocks, ss_, se_, 1 if not refine else 0,
+                 _SymWriter(sym_codes, bw))
+            bw.flush()
+            out += sos_seg([(ci, 0, 0)], ss_, se_,
+                           1 if refine else 0, 0 if refine else 1)
+            out += bw.out
+    elif per_component_scans:
+        for ci in range(c):
+            bh_, bw_blocks = comp_grid(ci)
+            dc_codes, ac_codes = codes[ci]
+            bw = _BitWriter()
+            prev_dc = 0
+            for by in range(bh_):
+                for bx in range(bw_blocks):
+                    prev_dc = _emit_block(
+                        zz[ci][by, bx], prev_dc, dc_codes, ac_codes, bw
+                    )
+            bw.flush()
+            out += sos_seg([(ci, 0 if ci == 0 else 1, 0 if ci == 0 else 1)],
+                           0, 63, 0, 0)
+            out += bw.out
+    else:
+        bw = _BitWriter()
+        prev = [0] * c
+        mcu_count = 0
+        rst_n = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and \
+                        mcu_count % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes((0xFF, 0xD0 + rst_n))
+                    rst_n = (rst_n + 1) % 8
+                    prev = [0] * c
+                mcu_count += 1
+                for ci in range(c):
+                    hi, vi = samp[ci]
+                    dc_codes, ac_codes = codes[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            row = zz[ci][my * vi + by, mx * hi + bx]
+                            prev[ci] = _emit_block(
+                                row, prev[ci], dc_codes, ac_codes, bw
+                            )
+        bw.flush()
+        out += sos_seg(
+            [(ci, 0 if ci == 0 else 1, 0 if ci == 0 else 1) for ci in range(c)],
+            0, 63, 0, 0,
+        )
+        out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -420,14 +661,218 @@ def _extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+#: sanity cap on SOF-declared pixel count (corrupt headers would otherwise
+#: drive multi-GB coefficient allocations before any entropy data is read)
+MAX_PIXELS = 1 << 26
+
+
 def decode_jpeg(raw: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (H, W, C) uint8 (C = 1 gray / 3 RGB)."""
+    """JFIF bytes -> (H, W, C) uint8 (C = 1 gray / 3 RGB).  Baseline
+    sequential (SOF0/1, incl. per-component multi-scan) and progressive
+    (SOF2, spectral selection + successive approximation, EOB runs)."""
     try:
         return _decode_jpeg_inner(raw)
-    except (IndexError, struct.error):
+    except (IndexError, struct.error, MemoryError, OverflowError):
         # ran off the end of a segment/scan: uniform truncation error (the
         # UDF error path contracts on ValueError)
         raise ValueError("jpeg_truncated:unexpected_eof") from None
+
+
+def _block_seq(reader, dc_lut, ac_lut, zz, pred: int) -> int:
+    """Sequential full-precision data unit (T.81 F.2.2): DC diff + all 63
+    AC coefficients into the zigzag-space row ``zz``; returns the new DC
+    predictor."""
+    t = _huff_decode(reader, dc_lut)
+    if t > 15:
+        # only possible via a corrupt DHT: spec DC categories stop at 11;
+        # an unchecked t would read t bits into an unbounded magnitude
+        raise ValueError(f"jpeg_bad_dc_category:{t}")
+    diff = _extend(reader.read(t), t) if t else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        sym = _huff_decode(reader, ac_lut)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0x0F
+        if k > 63:
+            raise ValueError("jpeg_coef_overflow")
+        zz[k] = _extend(reader.read(size), size)
+        k += 1
+    return pred
+
+
+def _block_dc_first(reader, dc_lut, zz, pred: int, al: int) -> int:
+    """Progressive DC first scan (T.81 G.1.2.1): diff of DC >> Al."""
+    t = _huff_decode(reader, dc_lut)
+    if t > 15:
+        raise ValueError(f"jpeg_bad_dc_category:{t}")
+    diff = _extend(reader.read(t), t) if t else 0
+    pred += diff
+    zz[0] = pred << al
+    return pred
+
+
+def _block_ac_first(reader, ac_lut, zz, ss: int, se: int, al: int, eobrun) -> None:
+    """Progressive AC first scan over band Ss..Se (T.81 G.1.2.2) with
+    end-of-band runs; ``eobrun`` is a 1-element list carried across
+    blocks."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = _huff_decode(reader, ac_lut)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1
+            if r:
+                eobrun[0] += reader.read(r)
+            return
+        k += r
+        if k > se:
+            raise ValueError("jpeg_coef_overflow")
+        zz[k] = _extend(reader.read(s), s) << al
+        k += 1
+
+
+def _block_ac_refine(reader, ac_lut, zz, ss: int, se: int, al: int, eobrun) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): one correction bit
+    per already-nonzero coefficient, newly-significant coefficients coded
+    as ±1<<Al after a run of zero-HISTORY positions, EOB runs append
+    correction bits for the rest of the band."""
+    p1 = 1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            sym = _huff_decode(reader, ac_lut)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.read(r)
+                    break
+                # ZRL: skip 16 zero-history positions (refining on the way)
+            else:
+                if s != 1:
+                    raise ValueError("jpeg_bad_refine_size")
+                newval = p1 if reader.read(1) else -p1
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    if reader.read(1) and (v & p1) == 0:
+                        zz[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        if newval:
+                            zz[k] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if eobrun[0] > 0:
+        while k <= se:
+            v = int(zz[k])
+            if v != 0:
+                if reader.read(1) and (v & p1) == 0:
+                    zz[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _comp_block_grid(comp, hmax, vmax, hh, ww) -> tuple[int, int]:
+    """Block rows/cols of one component's OWN sampling grid (T.81 A.1.1 —
+    the iteration space of a non-interleaved scan, which excludes the MCU
+    padding blocks an interleaved scan would code)."""
+    cw = -(-ww * comp["h"] // hmax)
+    ch = -(-hh * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_scan(raw, pos, scan, ss, se, ah, al, progressive, coefs, hufs,
+                 restart_interval, geom) -> int:
+    """Entropy-decode one scan into the per-component coefficient stores;
+    returns the byte offset of the next marker."""
+    hh, ww, hmax, vmax, mcux, mcuy = geom
+    reader = _BitReader(raw, pos)
+    preds = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = [0]
+
+    for comp, tdc, tac in scan:
+        need_dc = not progressive or (ss == 0 and ah == 0)
+        need_ac = not progressive or ss > 0
+        if need_dc and hufs.get((0, tdc)) is None:
+            raise ValueError("jpeg_missing_table")
+        if need_ac and hufs.get((1, tac)) is None:
+            raise ValueError("jpeg_missing_table")
+
+    def decode_unit(comp, tdc, tac, by, bx):
+        zz = coefs[comp["id"]][by, bx]
+        if not progressive:
+            preds[comp["id"]] = _block_seq(
+                reader, hufs[(0, tdc)], hufs[(1, tac)], zz, preds[comp["id"]]
+            )
+        elif ss == 0:
+            if ah == 0:
+                preds[comp["id"]] = _block_dc_first(
+                    reader, hufs[(0, tdc)], zz, preds[comp["id"]], al
+                )
+            else:  # DC refinement: one raw bit, no Huffman table involved
+                zz[0] = int(zz[0]) | (reader.read(1) << al)
+        elif ah == 0:
+            _block_ac_first(reader, hufs[(1, tac)], zz, ss, se, al, eobrun)
+        else:
+            _block_ac_refine(reader, hufs[(1, tac)], zz, ss, se, al, eobrun)
+
+    unit_count = 0
+
+    def maybe_restart():
+        nonlocal unit_count
+        if restart_interval and unit_count and unit_count % restart_interval == 0:
+            reader.restart()
+            for cid in preds:
+                preds[cid] = 0
+            eobrun[0] = 0
+        unit_count += 1
+
+    if len(scan) > 1:  # interleaved: MCU order over the full padded grid
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for comp, tdc, tac in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            decode_unit(
+                                comp, tdc, tac,
+                                my * comp["v"] + by, mx * comp["h"] + bx,
+                            )
+    else:  # non-interleaved: the component's own block grid, no padding
+        comp, tdc, tac = scan[0]
+        bh, bw = _comp_block_grid(comp, hmax, vmax, hh, ww)
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart()
+                decode_unit(comp, tdc, tac, by, bx)
+
+    # advance to the next marker (skip pad bits / stray fill bytes)
+    p = reader.pos
+    while p + 1 < len(raw) and (
+        raw[p] != 0xFF or raw[p + 1] == 0x00 or 0xD0 <= raw[p + 1] <= 0xD7
+    ):
+        p += 1
+    if p + 1 >= len(raw):
+        raise ValueError("jpeg_truncated:unexpected_eof")
+    return p
 
 
 def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
@@ -437,16 +882,26 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     hufs: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
     restart_interval = 0
+    coefs: dict[int, np.ndarray] = {}
+    geom = None
+    got_scan = False
     while True:
-        if pos + 4 > len(raw):
-            raise ValueError("jpeg_truncated:no_sos")
+        if pos + 2 > len(raw):
+            raise ValueError(
+                "jpeg_truncated:no_eoi" if got_scan else "jpeg_truncated:no_sos"
+            )
         if raw[pos] != 0xFF:
             raise ValueError("jpeg_bad_marker")
         marker = raw[pos + 1]
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        if marker == 0xD9:  # EOI
+            if not got_scan:
+                raise ValueError("jpeg_truncated:eoi_before_sos")
+            break
         (seglen,) = struct.unpack_from(">H", raw, pos + 2)
         body = raw[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -462,8 +917,8 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
                 q[ZIGZAG] = tab  # de-zigzag
                 qtabs[tid] = q.reshape(8, 8)
                 b += 65
-        elif marker == 0xC4:  # DHT (may hold several tables)
-            b = 0
+        elif marker == 0xC4:  # DHT (may hold several tables; legal between
+            b = 0              # scans — progressive streams redefine slots)
             while b < len(body):
                 tclass, tid = body[b] >> 4, body[b] & 0x0F
                 bits = list(body[b + 1 : b + 17])
@@ -474,10 +929,17 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
                 }
                 hufs[(tclass, tid)] = lut
                 b += 17 + nval
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
+            if sof is not None:
+                raise ValueError("jpeg_unsupported:multiple_sof")
+            progressive = marker == 0xC2
             prec, hh, ww, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"jpeg_unsupported:precision={prec}")
+            if hh * ww > MAX_PIXELS:
+                raise ValueError(f"jpeg_unsupported:too_large:{hh}x{ww}")
+            if hh == 0 or ww == 0 or nc == 0:
+                raise ValueError("jpeg_bad_sof_dims")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + ci * 3 : 9 + ci * 3]
@@ -485,20 +947,29 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(f"jpeg_unsupported:sampling={hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            if len({c["id"] for c in comps}) != nc:
+                raise ValueError("jpeg_bad_sof_dup_component")
             sof = (hh, ww, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-ww // (8 * hmax))
+            mcuy = -(-hh // (8 * vmax))
+            geom = (hh, ww, hmax, vmax, mcux, mcuy)
+            coefs = {
+                c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                for c in comps
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(f"jpeg_unsupported:sof=0x{marker:02x}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode the scan in place, keep parsing
             if sof is None:
                 raise ValueError("jpeg_truncated:sos_before_sof")
             ns = body[0]
-            if ns != len(sof[2]):
-                # per-component scans (legal baseline, rare) would need a
-                # multi-scan loop — reject rather than mis-decode
-                raise ValueError(f"jpeg_unsupported:multi_scan:{ns}")
+            if ns < 1 or ns > len(sof[2]) or len(body) < 4 + ns * 2:
+                raise ValueError(f"jpeg_bad_scan_header:{ns}")
             scan = []
             for si in range(ns):
                 cs, tt = body[1 + si * 2], body[2 + si * 2]
@@ -506,76 +977,45 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
                 if not matches:
                     raise ValueError(f"jpeg_bad_scan_component:{cs}")
                 scan.append((matches[0], tt >> 4, tt & 0x0F))
-            pos = pos + 2 + seglen
-            break
-        elif marker == 0xD9:
-            raise ValueError("jpeg_truncated:eoi_before_sos")
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ah, al = body[3 + ns * 2] >> 4, body[3 + ns * 2] & 0x0F
+            if progressive:
+                if ss > se or se > 63 or (ss == 0 and se != 0):
+                    raise ValueError(f"jpeg_bad_progression:{ss}..{se}")
+                if ss > 0 and ns != 1:
+                    raise ValueError("jpeg_bad_progression:interleaved_ac")
+                if ah and ah != al + 1:
+                    raise ValueError(f"jpeg_bad_progression:ah={ah},al={al}")
+            else:
+                ss, se, ah, al = 0, 63, 0, 0  # fields are fixed in sequential
+            pos = _decode_scan(
+                raw, pos + 2 + seglen, scan, ss, se, ah, al, progressive,
+                coefs, hufs, restart_interval, geom,
+            )
+            got_scan = True
+            continue
         pos += 2 + seglen
 
     hh, ww, comps = sof
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcux = -(-ww // (8 * hmax))
-    mcuy = -(-hh // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
-    }
-    reader = _BitReader(raw, pos)
-    prev_dc = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.restart()
-                prev_dc = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for comp, tdc, tac in scan:
-                dc_lut = hufs.get((0, tdc))
-                ac_lut = hufs.get((1, tac))
-                qtab = qtabs.get(comp["tq"])
-                if dc_lut is None or ac_lut is None or qtab is None:
-                    raise ValueError("jpeg_missing_table")
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, np.int64)
-                        t = _huff_decode(reader, dc_lut)
-                        if t > 15:
-                            # only possible via a corrupt DHT: spec DC
-                            # categories stop at 11; an unchecked t would
-                            # read t bits into an unbounded magnitude
-                            raise ValueError(f"jpeg_bad_dc_category:{t}")
-                        diff = _extend(reader.read(t), t) if t else 0
-                        prev_dc[comp["id"]] += diff
-                        zz[0] = prev_dc[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            sym = _huff_decode(reader, ac_lut)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            size = sym & 0x0F
-                            if k > 63:
-                                raise ValueError("jpeg_coef_overflow")
-                            zz[k] = _extend(reader.read(size), size)
-                            k += 1
-                        coef = np.zeros(64)
-                        coef[ZIGZAG] = zz  # de-zigzag
-                        block = coef.reshape(8, 8) * qtab
-                        pix = _T.T @ block @ _T + 128.0
-                        y0 = (my * comp["v"] + by) * 8
-                        x0 = (mx * comp["h"] + bx) * 8
-                        planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = pix
-
     out_planes = []
     for c in comps:
-        p = planes[c["id"]]
+        qtab = qtabs.get(c["tq"])
+        if qtab is None:
+            raise ValueError("jpeg_missing_table")
+        zz = coefs[c["id"]]
+        bh, bw = zz.shape[0], zz.shape[1]
+        raster = zz[:, :, UNZIGZAG].reshape(bh, bw, 8, 8).astype(np.float64)
+        # dequant + IDCT vectorized over every block of the plane at once
+        pix = np.einsum("ji,mnjk,kl->mnil", _T, raster * qtab, _T) + 128.0
+        p = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out_planes.append(p[:hh, :ww])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    if len(out_planes) != 3:
+        raise ValueError(f"jpeg_unsupported:components={len(out_planes)}")
     y, cb, cr = out_planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

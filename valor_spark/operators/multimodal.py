@@ -4,10 +4,12 @@ Audio is fully real (``valor_spark.operators.audio`` decodes PCM/WAV with
 numpy/stdlib).  Images: uncompressed **BMP (8/24-bit)**, binary **netpbm
 (PGM/PPM)**, **PNG** (gray / RGB / palette / gray+alpha / RGBA, bit
 depths 1/2/4/8/16, all five scanline filters, null AND Adam7 interlace;
-stdlib ``zlib`` + numpy unfiltering), and baseline **JPEG** (SOF0, 4:4:4/4:2:2/4:2:0, restart
-markers — ``valor_spark.operators.jpeg``, pure numpy + stdlib) are REAL
-decoders with real mean-intensity and block-average feature extraction.
-Video and the exotic still formats (progressive JPEG, WebP, ...) need
+stdlib ``zlib`` + numpy unfiltering), and **JPEG** — sequential baseline
+SOF0 (4:4:4/4:2:2/4:2:0, restart markers, per-component multi-scan) AND
+progressive SOF2 (spectral selection + successive approximation, EOB
+runs) — via ``valor_spark.operators.jpeg`` (pure numpy + stdlib); all
+are REAL decoders with real mean-intensity and block-average feature
+extraction.  Video and the remaining exotic still formats (WebP, ...) need
 libraries this container doesn't ship (Pillow, ffmpeg), so those fall
 back to a deterministic fake decoder (documented, not hidden); the
 Spark-side plumbing — typed metadata struct, Arrow-batched ``mapInPandas``

@@ -184,12 +184,16 @@ def build_image_fixture(fixture_dir: str) -> dict[str, str]:
 
 
 def build_jpeg_fixture(fixture_dir: str) -> dict[str, str]:
-    """JPEG-gate fixture: real baseline JPEG bytes (gray/RGB, 4:4:4 and
-    4:2:0, restart markers, odd dims, a truncation plant) + an expected
-    METADATA table derived from the SOURCE spec (dims/channels from the
-    source array shape — lossy pixel values are pytest-verified via PSNR,
-    not hash-graded; the gate grades that the decoder really parses and
-    reconstructs shape/metadata distributed under Spark)."""
+    """JPEG-gate fixture: real JPEG bytes rotating every supported stream
+    layout — sequential baseline (gray/RGB, 4:4:4 and 4:2:0, restart
+    markers, odd dims), PROGRESSIVE SOF2 (full four-scan-type script:
+    DC first/refine, per-component AC first with a luma band split, AC
+    refines with EOB runs), per-component sequential multi-scan, and a
+    truncation plant — plus an expected METADATA table derived from the
+    SOURCE spec (dims/channels from the source array shape — lossy pixel
+    values are pytest-verified via PSNR, not hash-graded; the gate grades
+    that the decoder really parses each entropy layout and reconstructs
+    shape/metadata distributed under Spark)."""
     import hashlib as _hashlib
 
     import pyarrow as pa
@@ -198,8 +202,10 @@ def build_jpeg_fixture(fixture_dir: str) -> dict[str, str]:
     from valor_spark.operators.jpeg import encode_jpeg
 
     n = 60
+    # "jpeg2": layout rotation gained progressive + per-component scans —
+    # local salt bump (same role as FIXTURE_VERSION, scoped to this fixture)
     tag = _hashlib.md5(
-        repr((FIXTURE_VERSION, n, "jpeg")).encode()
+        repr((FIXTURE_VERSION, n, "jpeg2")).encode()
     ).hexdigest()[:8]
     paths = {
         name: os.path.join(fixture_dir, f"images_jpeg_{name}_{tag}.parquet")
@@ -214,11 +220,17 @@ def build_jpeg_fixture(fixture_dir: str) -> dict[str, str]:
         img = _source_image(1000 + i)  # same pattern family, distinct seeds
         img3 = img if img.ndim == 3 else img[:, :, None]
         h, w, c = img3.shape
+        sub = "4:2:0" if (c == 3 and i % 3 == 0) else "4:4:4"
+        progressive = i % 5 == 2  # SOF2 rows (both subsamplings hit)
+        per_comp = i % 5 == 3 and sub == "4:4:4"  # sequential multi-scan
         raw = encode_jpeg(
             img if img.ndim == 2 else img3,
             quality=75 + (i * 7) % 21,
-            subsampling="4:2:0" if (c == 3 and i % 3 == 0) else "4:4:4",
-            restart_interval=(i % 4 == 1) and 2 or 0,
+            subsampling=sub,
+            restart_interval=(i % 4 == 1 and not progressive and not per_comp)
+            and 2 or 0,
+            progressive=progressive,
+            per_component_scans=per_comp,
         )
         err = None
         if i % 11 == 7:  # planted truncation
