@@ -886,6 +886,25 @@ def q_audio_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_spectrum(clips)
 
 
+def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BS.1770-style K-weighted gated program loudness in the graded gate
+    (operators/loudness.py::audio_loudness): 400 ms / 75 %-overlap gating
+    blocks, frequency-domain K-weighting (the spec biquads' |H|^2 on each
+    block's rFFT grid — batched matrix FFT, no sequential IIR), absolute
+    -70 LKFS + relative -10 LU two-stage gate, integer milli-LKFS out.
+    ONE shuffle-free mapInArrow pass inheriting every decode_one codec
+    (PCM/WAV/G.711/ADPCM).  Oracle reads expected rows derived from the
+    locally-reconstructed PCM (decode path independently exercised;
+    arithmetic anchored by the 48 kHz coefficient-table and 997 Hz
+    -3.01 LKFS calibration pytests)."""
+    from valor_spark.operators.loudness import audio_loudness
+    from valor_spark.sources.audio_fixture import build_audio_loudness_fixture
+
+    paths = build_audio_loudness_fixture(FIXTURE_DIR)
+    clips = spark.read.parquet(paths["data"])
+    return audio_loudness(clips)
+
+
 def _ensure_stream_events(sf_dir: str) -> str:
     """Two-file parquet stream source over the sf_dir events (split by
     event_id parity) for the windowed-aggregation streaming gate."""
@@ -1663,9 +1682,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (drift_all, jpeg_stats) straight into the graded window in place of
     psi_event_types (superseded by drift_all's one-scan KS+PSI+chi2) and
     top_bigrams (green r03-r04) so no operator waits a round for
-    authoritative evidence.  Across rounds every operator therefore has an
-    authoritative green driver row; the local selfcheck still verifies all
-    entries each run."""
+    authoritative evidence; later in the round audio_loudness (BS.1770
+    K-weighted gated loudness) rotates in the same way in place of
+    customers_without_orders (green r01-r04).  Across rounds every
+    operator therefore has an authoritative green driver row; the local
+    selfcheck still verifies all entries each run."""
     return {
         # ---- graded window (first 50) -----------------------------------
         "val_orders": q_val_orders,
@@ -1673,7 +1694,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_clips": q_val_clips,
         "uniq_custkeys": q_uniq_custkeys,
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
-        "customers_without_orders": q_customers_without_orders,
         "col_stats": q_col_stats,
         "events_first_per_user_type": q_events_first_per_user_type,
         "drift_all": q_drift_all,
@@ -1692,6 +1712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_audio": q_val_audio,
         "audio_profile": q_audio_profile,
         "audio_spectrum": q_audio_spectrum,
+        "audio_loudness": q_audio_loudness,
         "stream_audio_profile": q_stream_audio_profile,
         "jpeg_stats": q_jpeg_stats,
         "image_stats": q_image_stats,
@@ -1746,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rotated out for the round-5 additions (green r01-r04) ------
         "psi_event_types": q_psi_event_types,
         "top_bigrams": q_top_bigrams,
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -2086,6 +2108,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_dedup_fixture
 
     audio_dedup_expected = build_audio_dedup_fixture(FIXTURE_DIR)
+    from valor_spark.sources.audio_fixture import build_audio_loudness_fixture
+
+    audio_loudness_expected = build_audio_loudness_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_jpeg_fixture
 
@@ -2481,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_profile": f"SELECT * FROM read_parquet('{audio_profile_expected}')",
         "audio_segments": f"SELECT * FROM read_parquet('{audio_segments_expected}')",
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
+        "audio_loudness": f"SELECT * FROM read_parquet('{audio_loudness_expected}')",
         "audio_dedup": f"SELECT * FROM read_parquet('{audio_dedup_expected}')",
         "image_dedup": f"SELECT * FROM read_parquet('{image_dhash_expected}')",
         # jpeg gate: spec-derived metadata table (dims from the source

@@ -82,6 +82,7 @@ HEADLINE = [
     "docs_pipeline",
     # round-5 additions (same caveat: totals widen again)
     "drift_all",
+    "audio_loudness",
 ]
 
 

@@ -1,0 +1,109 @@
+"""BS.1770-4 K-weighted gated loudness: spec landmarks (48 kHz coefficient
+table, 997 Hz calibration), gating semantics, and the Spark mapInArrow pass
+against the fixture's locally-derived expected rows."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from valor_spark.operators.loudness import (
+    k_biquads,
+    loudness_ints,
+    audio_loudness,
+)
+
+
+def test_k_biquads_match_published_48k_table():
+    """The any-rate analog-prototype derivation must reproduce the
+    BS.1770-4 published 48 kHz coefficient table (the spec's only
+    normative coefficient set) to float64 round-off."""
+    b1, a1, b2, a2 = k_biquads(48000)
+    np.testing.assert_allclose(
+        b1, [1.53512485958697, -2.69169618940638, 1.19839281085285],
+        rtol=0, atol=1e-10,
+    )
+    np.testing.assert_allclose(
+        a1, [1.0, -1.69065929318241, 0.73248077421585], rtol=0, atol=1e-10
+    )
+    np.testing.assert_allclose(b2, [1.0, -2.0, 1.0], rtol=0, atol=0)
+    np.testing.assert_allclose(
+        a2, [1.0, -1.99004745483398, 0.99007225036621], rtol=0, atol=1e-10
+    )
+
+
+def _sine(freq, sr, dur_s, amp=32767.0):
+    t = np.arange(int(sr * dur_s))
+    return np.clip(
+        np.round(amp * np.sin(2.0 * np.pi * freq * t / sr)), -32768, 32767
+    ).astype(np.int16)
+
+
+def test_997hz_calibration_point():
+    """Spec calibration: a 0 dBFS 997 Hz sine reads -3.01 LKFS at 48 kHz
+    (BS.1770-4 Annex; the K-filter's 997 Hz gain is +0.691 dB-ish offset
+    by the -0.691 constant).  Allow 10 milli-LU for the int16 quantize +
+    circular-block approximation."""
+    n, nb, gb, lufs, peak = loudness_ints(_sine(997, 48000, 2.0), 48000)
+    assert n == 96000 and nb == 17 and gb == 17
+    assert abs(lufs - (-3010)) <= 10
+    assert peak == 0  # 0 dBFS sample peak
+
+
+def test_level_linearity_and_rate_consistency():
+    """-20 dB input level drops integrated loudness by 20 LU exactly, and
+    the 440 Hz reading agrees across sample rates within 0.25 LU (the
+    filter derivation is rate-parametric, not table-lookup; the residual
+    is bilinear frequency warping, largest at 8 kHz)."""
+    ref = loudness_ints(_sine(440, 48000, 1.5), 48000)[3]
+    low = loudness_ints(_sine(440, 48000, 1.5, amp=3276.7), 48000)[3]
+    assert abs((ref - low) - 20000) <= 12
+    for sr in (8000, 16000, 44100):
+        other = loudness_ints(_sine(440, sr, 1.5), sr)[3]
+        assert abs(other - ref) <= 250, sr
+
+
+def test_two_stage_gate_recovers_head_level():
+    """A 1 s program at -20 dB followed by 4 s of -80 dB near-silence must
+    gate the tail out: integrated loudness stays within 1.5 LU of the
+    head-alone reading instead of averaging ~7 dB lower."""
+    sr = 16000
+    head = _sine(440, sr, 1.0, amp=3276.7)
+    tail = _sine(440, sr, 4.0, amp=3.2767)
+    n, nb, gb, lufs, _ = loudness_ints(np.concatenate([head, tail]), sr)
+    head_only = loudness_ints(head, sr)[3]
+    assert gb < nb  # gate actually dropped blocks
+    assert abs(lufs - head_only) <= 1500
+
+
+def test_degenerate_inputs():
+    sr = 16000
+    # true silence: blocks exist, all under the absolute gate, NULL lufs
+    n, nb, gb, lufs, peak = loudness_ints(np.zeros(sr, np.int16), sr)
+    assert nb > 0 and gb == 0 and lufs is None and peak is None
+    # below the absolute gate (-80 dB tone): NULL lufs, real peak
+    n, nb, gb, lufs, peak = loudness_ints(_sine(440, sr, 1.0, amp=3.2767), sr)
+    assert gb == 0 and lufs is None and peak is not None
+    # shorter than one 400 ms block: no blocks, NULL lufs
+    n, nb, gb, lufs, peak = loudness_ints(_sine(440, sr, 0.2), sr)
+    assert nb == 0 and lufs is None
+    # empty / bad rate
+    assert loudness_ints(np.empty(0, np.int16), sr) == (0, 0, 0, None, None)
+    assert loudness_ints(_sine(440, sr, 1.0), 0)[3] is None
+
+
+def test_audio_loudness_spark_matches_fixture(spark, tmp_path):
+    """End-to-end mapInArrow pass over the loudness fixture equals the
+    locally-derived expected table row-for-row (codec dispatch, error
+    plants, NULL propagation included)."""
+    from valor_spark.sources.audio_fixture import build_audio_loudness_fixture
+
+    paths = build_audio_loudness_fixture(str(tmp_path))
+    got = (
+        audio_loudness(spark.read.parquet(paths["data"]))
+        .orderBy("clip_id")
+        .collect()
+    )
+    exp = spark.read.parquet(paths["expected"]).orderBy("clip_id").collect()
+    assert len(got) == len(exp) and len(got) >= 30
+    for g, e in zip(got, exp):
+        assert g.asDict() == e.asDict(), g.clip_id

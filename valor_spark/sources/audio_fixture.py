@@ -576,3 +576,282 @@ def build_audio_dedup_fixture(fixture_dir: str) -> str:
         path,
     )
     return path
+
+def _loudness_clip_set():
+    """Deterministic clip set for the loudness gate — seconds-long signals
+    (the 400 ms gating blocks need real duration; the main clips fixture
+    tops out at 256 samples): a tone matrix across frequency x level x
+    rate x container, two-level gating composites, silence / sub-block
+    degenerates, every compressed codec, and error plants.
+
+    Returns (clip_id, bytes, sr_hz, codec, decoded_or_None) — ``decoded``
+    is the local reconstruction the expected table derives from (same
+    decoders the engine dispatches to for the compressed rows — honest
+    shared derivation; the ANALYTIC guard is the 997 Hz / coefficient-
+    table pytest in tests/test_audio.py)."""
+    import numpy as np
+
+    from valor_spark.operators import adpcm as AD
+    from valor_spark.operators.audio import (
+        ALAW_DECODE_LUT,
+        ULAW_DECODE_LUT,
+        encode_g711,
+    )
+
+    def tone(freq, amp_dbfs, sr, dur_s, phase_id=0):
+        t = np.arange(int(sr * dur_s))
+        amp = 32768.0 * 10.0 ** (amp_dbfs / 20.0)
+        return (
+            amp * np.sin(2.0 * np.pi * (freq * t / sr + 0.1 * phase_id))
+        ).astype(np.int16)
+
+    rows = []
+
+    def add(cid, raw, sr, codec, decoded):
+        rows.append((cid, raw, sr, codec, decoded))
+
+    freqs = (60, 150, 440, 997, 3000, 7000)
+    levels = (-3, -20, -40, -60)
+    rates = (8000, 16000, 48000)
+    k = 0
+    for fi, f in enumerate(freqs):
+        for li, lv in enumerate(levels):
+            sr = rates[k % 3]
+            if 2 * f >= sr:  # keep tones below Nyquist
+                sr = 48000
+            pcm = tone(f, lv, sr, 1.2, phase_id=k)
+            if k % 2 == 0:
+                add(f"tone_{f}_{-lv}", pcm.tobytes(), sr, "pcm_s16le", pcm)
+            else:
+                add(f"tone_{f}_{-lv}", S.wrap_wav(pcm, sr), sr, "wav", pcm)
+            k += 1
+    # gating composites: loud head + long quiet tail (relative gate must
+    # recover the head's level), and a quiet-only row under the abs gate
+    for j, (head_db, tail_db) in enumerate(((-18, -75), (-30, -66), (-10, -90))):
+        sr = 16000
+        head = tone(440, head_db, sr, 1.0, phase_id=10 + j)
+        tail = tone(440, tail_db, sr, 3.0, phase_id=20 + j)
+        pcm = np.concatenate([head, tail])
+        add(f"gate_{j}", pcm.tobytes(), sr, "pcm_s16le", pcm)
+    quiet = tone(440, -80, 16000, 1.5, phase_id=31)
+    add("all_quiet", quiet.tobytes(), 16000, "pcm_s16le", quiet)
+    zeros = np.zeros(16000, np.int16)
+    add("silence", zeros.tobytes(), 16000, "pcm_s16le", zeros)
+    short = tone(440, -20, 16000, 0.2, phase_id=32)
+    add("too_short", short.tobytes(), 16000, "pcm_s16le", short)
+    # compressed codecs (decoded = engine decoder output, shared honestly)
+    pcm = tone(300, -20, 16000, 1.0, phase_id=40)
+    for law, codec, lut in (
+        ("mulaw", "pcm_mulaw", ULAW_DECODE_LUT),
+        ("alaw", "pcm_alaw", ALAW_DECODE_LUT),
+    ):
+        enc = encode_g711(pcm, law)
+        add(f"g711_{law}", enc, 16000, codec, lut[np.frombuffer(enc, np.uint8)])
+    enc = AD.wav_ima_adpcm(pcm, rate=16000, block_align=256)
+    add("adpcm", enc, 16000, "wav", _adpcm_decoded(enc, len(pcm)))
+    # error plants: truncated WAV header, unknown codec
+    add("trunc", S.wrap_wav(pcm, 16000)[:40], 16000, "wav", None)
+    add("badcodec", pcm.tobytes(), 16000, "opus", None)
+    return rows
+
+
+def build_audio_loudness_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the loudness clips + expected parquets (idempotent); returns
+    their paths.  Expected rows are ``loudness_ints`` over the locally-
+    derived PCM (shared arithmetic, independently-exercised DECODE path —
+    same split as the spectrum fixture; the analytic anchors are the
+    BS.1770 48 kHz coefficient table and the 997 Hz -3.01 LKFS
+    calibration in tests/test_audio.py)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from valor_spark.operators.audio import decode_one
+    from valor_spark.operators.loudness import loudness_ints
+
+    tag = _fixture_tag()
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_loudness_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    data_rows, expected_rows = [], []
+    for cid, raw, sr, codec, decoded in _loudness_clip_set():
+        data_rows.append((cid, raw, sr, codec))
+        if decoded is None:  # error plant: replay the engine's error string
+            _sig, _r, err = decode_one(raw, codec)
+            assert err is not None, cid
+            expected_rows.append((cid, 0, 0, 0, None, None, err))
+        else:
+            n, nb, gb, lufs, peak = loudness_ints(decoded, sr)
+            expected_rows.append((cid, n, nb, gb, lufs, peak, None))
+
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in data_rows], pa.string()),
+                "bytes": pa.array([r[1] for r in data_rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in data_rows], pa.int32()),
+                "codec": pa.array([r[3] for r in data_rows], pa.string()),
+            }
+        ),
+        paths["data"],
+    )
+    cols = list(zip(*expected_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "n_samples": pa.array(cols[1], pa.int32()),
+                "n_blocks": pa.array(cols[2], pa.int32()),
+                "gated_blocks": pa.array(cols[3], pa.int32()),
+                "lufs_milli": pa.array(cols[4], pa.int32()),
+                "peak_milli_dbfs": pa.array(cols[5], pa.int32()),
+                "decode_error": pa.array(cols[6], pa.string()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
+
+
+def _fp_programs():
+    """Deterministic 'melody' programs for the perceptual-fingerprint
+    gate: each program is a sequence of on-bin pure-tone notes (freqs are
+    exact multiples of the 15.625 Hz analysis quantum, so peak bins are
+    leakage-free and rate-portable), with per-program DISJOINT frequency
+    registers — distinct programs share no (f1, f2, dt) landmark, so the
+    analytic truth is exactly 'pairs within a variant group'."""
+    import numpy as np
+
+    q = 15.625
+    programs = {}
+    for p in range(6):
+        # register p: bins 20+12p .. — six notes stepping inside it
+        bins = [20 + 12 * p + s for s in (0, 4, 2, 7, 5, 9)]
+        programs[f"prog{p}"] = [(b * q, 0.35) for b in bins]
+    return programs
+
+
+def _fp_synth(notes, sr: int, amp: float = 9000.0):
+    """Concatenated int16 tone sequence with a 10 ms cosine edge ramp per
+    note (removes click transients whose broadband frames would add
+    noise peaks)."""
+    import numpy as np
+
+    chunks = []
+    for f, dur in notes:
+        n = int(round(sr * dur))
+        t = np.arange(n)
+        x = amp * np.sin(2.0 * np.pi * f * t / sr)
+        edge = max(1, int(0.010 * sr))
+        env = np.ones(n)
+        ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(edge) / edge)
+        env[:edge] = ramp
+        env[-edge:] = ramp[::-1]
+        chunks.append(np.round(x * env))
+    return np.clip(np.concatenate(chunks), -32768, 32767).astype(np.int16)
+
+
+def _fp_clip_set():
+    """(clip_id, bytes, sr_hz, codec, group) rows: per program a variant
+    group — original PCM, G.711 mu-law transcode, IMA ADPCM transcode,
+    -10 dB gain, WAV container, one 48 kHz re-synthesis (the rate-
+    portability plant) — plus negatives (distinct programs cover that),
+    LCG noise, silence, and error plants (group=None rows must never
+    appear in any pair)."""
+    import numpy as np
+
+    from valor_spark.operators import adpcm as AD
+    from valor_spark.operators.audio import encode_g711
+
+    rows = []
+    for name, notes in _fp_programs().items():
+        pcm = _fp_synth(notes, 16000)
+        rows.append((f"{name}_orig", pcm.tobytes(), 16000, "pcm_s16le", name))
+        rows.append(
+            (f"{name}_ulaw", encode_g711(pcm, "mulaw"), 16000, "pcm_mulaw", name)
+        )
+        rows.append(
+            (
+                f"{name}_adpcm",
+                AD.wav_ima_adpcm(pcm, rate=16000, block_align=256),
+                16000,
+                "wav",
+                name,
+            )
+        )
+        gain = np.round(pcm.astype(np.float64) * 0.316).astype(np.int16)
+        rows.append((f"{name}_quiet", gain.tobytes(), 16000, "pcm_s16le", name))
+        rows.append((f"{name}_wav", S.wrap_wav(pcm, 16000), 16000, "wav", name))
+        pcm48 = _fp_synth(notes, 48000)
+        rows.append((f"{name}_48k", pcm48.tobytes(), 48000, "pcm_s16le", name))
+    # negatives: deterministic LCG noise (no stable landmark alignment),
+    # silence, an error plant
+    state = np.uint64(0x9E3779B97F4A7C15)
+    out = np.empty(32000, np.int16)
+    s = int(state)
+    vals = []
+    for _ in range(32000):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        vals.append((s >> 33) % 12000 - 6000)
+    out[:] = np.asarray(vals, np.int64).astype(np.int16)
+    rows.append(("noise_a", out.tobytes(), 16000, "pcm_s16le", None))
+    rows.append(("noise_b", out[::-1].copy().tobytes(), 16000, "pcm_s16le", None))
+    rows.append(("fp_silence", np.zeros(24000, np.int16).tobytes(), 16000, "pcm_s16le", None))
+    rows.append(("fp_badcodec", b"\x00" * 100, 16000, "opus", None))
+    return rows
+
+
+def build_audio_fp_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the perceptual-fingerprint clips + ANALYTIC expected-pairs
+    parquets (idempotent): expected = every unordered pair inside one
+    variant group — derived from the plant structure alone, with NO reuse
+    of the engine's fingerprint arithmetic (a fully independent oracle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = _fixture_tag()
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_fp_v1_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    rows = _fp_clip_set()
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in rows], pa.int32()),
+                "codec": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        paths["data"],
+    )
+    groups: dict[str, list[str]] = {}
+    for cid, _b, _sr, _c, grp in rows:
+        if grp is not None:
+            groups.setdefault(grp, []).append(cid)
+    pairs = []
+    for members in groups.values():
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs.append((ms[i], ms[j]))
+    pairs.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "clip_a": pa.array([p[0] for p in pairs], pa.string()),
+                "clip_b": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
