@@ -905,6 +905,25 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_loudness(clips)
 
 
+def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcode/gain-robust perceptual audio near-dup in the graded gate
+    (operators/audio_fp.py::audio_near_dup_fp): Shazam-style spectral
+    landmark constellation — Hz-quantized STFT peaks, (f1, f2, dt) hashes
+    packed to one int64, inverted-index self-join with a boilerplate
+    frequency cap, offset-histogram vote.  Catches the dups the
+    content-addressed pass (audio_dedup) cannot: the same recording after
+    G.711 / ADPCM transcoding, a gain change, re-containering, or 48 kHz
+    re-synthesis.  Oracle is fully ANALYTIC: expected pairs derive from
+    the plant structure alone (pairs within a variant group), never from
+    the engine's fingerprint arithmetic."""
+    from valor_spark.operators.audio_fp import audio_near_dup_fp
+    from valor_spark.sources.audio_fixture import build_audio_fp_fixture
+
+    paths = build_audio_fp_fixture(FIXTURE_DIR)
+    clips = spark.read.parquet(paths["data"])
+    return audio_near_dup_fp(clips).select("clip_a", "clip_b")
+
+
 def _ensure_stream_events(sf_dir: str) -> str:
     """Two-file parquet stream source over the sf_dir events (split by
     event_id parity) for the windowed-aggregation streaming gate."""
@@ -1684,7 +1703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     top_bigrams (green r03-r04) so no operator waits a round for
     authoritative evidence; later in the round audio_loudness (BS.1770
     K-weighted gated loudness) rotates in the same way in place of
-    customers_without_orders (green r01-r04).  Across rounds every
+    customers_without_orders (green r01-r04), and audio_fp_dedup
+    (perceptual landmark near-dup) in place of uniq_custkeys_salted
+    (green r01-r04; its unsalted twin stays graded).  Across rounds every
     operator therefore has an authoritative green driver row; the local
     selfcheck still verifies all entries each run."""
     return {
@@ -1693,7 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_lineitem_acc": q_val_lineitem_acc,
         "val_clips": q_val_clips,
         "uniq_custkeys": q_uniq_custkeys,
-        "uniq_custkeys_salted": q_uniq_custkeys_salted,
         "col_stats": q_col_stats,
         "events_first_per_user_type": q_events_first_per_user_type,
         "drift_all": q_drift_all,
@@ -1713,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_profile": q_audio_profile,
         "audio_spectrum": q_audio_spectrum,
         "audio_loudness": q_audio_loudness,
+        "audio_fp_dedup": q_audio_fp_dedup,
         "stream_audio_profile": q_stream_audio_profile,
         "jpeg_stats": q_jpeg_stats,
         "image_stats": q_image_stats,
@@ -1768,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_event_types": q_psi_event_types,
         "top_bigrams": q_top_bigrams,
         "customers_without_orders": q_customers_without_orders,
+        "uniq_custkeys_salted": q_uniq_custkeys_salted,
     }
 
 
@@ -2111,6 +2133,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_loudness_fixture
 
     audio_loudness_expected = build_audio_loudness_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.audio_fixture import build_audio_fp_fixture
+
+    audio_fp_expected = build_audio_fp_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_jpeg_fixture
 
@@ -2507,6 +2532,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_segments": f"SELECT * FROM read_parquet('{audio_segments_expected}')",
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
         "audio_loudness": f"SELECT * FROM read_parquet('{audio_loudness_expected}')",
+        "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
         "audio_dedup": f"SELECT * FROM read_parquet('{audio_dedup_expected}')",
         "image_dedup": f"SELECT * FROM read_parquet('{image_dhash_expected}')",
         # jpeg gate: spec-derived metadata table (dims from the source
