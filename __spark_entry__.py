@@ -891,7 +891,8 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/loudness.py::audio_loudness): 400 ms / 75 %-overlap gating
     blocks, frequency-domain K-weighting (the spec biquads' |H|^2 on each
     block's rFFT grid — batched matrix FFT, no sequential IIR), absolute
-    -70 LKFS + relative -10 LU two-stage gate, integer milli-LKFS out.
+    -70 LKFS + relative -10 LU two-stage gate, integer milli-LKFS out,
+    plus the Annex-2-shape 4x-polyphase TRUE peak (inter-sample overs).
     ONE shuffle-free mapInArrow pass inheriting every decode_one codec
     (PCM/WAV/G.711/ADPCM).  Oracle reads expected rows derived from the
     locally-reconstructed PCM (decode path independently exercised;

@@ -43,10 +43,11 @@ def test_997hz_calibration_point():
     (BS.1770-4 Annex; the K-filter's 997 Hz gain is +0.691 dB-ish offset
     by the -0.691 constant).  Allow 10 milli-LU for the int16 quantize +
     circular-block approximation."""
-    n, nb, gb, lufs, peak = loudness_ints(_sine(997, 48000, 2.0), 48000)
+    n, nb, gb, lufs, peak, tp = loudness_ints(_sine(997, 48000, 2.0), 48000)
     assert n == 96000 and nb == 17 and gb == 17
     assert abs(lufs - (-3010)) <= 10
     assert peak == 0  # 0 dBFS sample peak
+    assert 0 <= tp <= 60  # true peak >= sample peak, within interpolator ripple
 
 
 def test_level_linearity_and_rate_consistency():
@@ -69,7 +70,7 @@ def test_two_stage_gate_recovers_head_level():
     sr = 16000
     head = _sine(440, sr, 1.0, amp=3276.7)
     tail = _sine(440, sr, 4.0, amp=3.2767)
-    n, nb, gb, lufs, _ = loudness_ints(np.concatenate([head, tail]), sr)
+    n, nb, gb, lufs, _p, _tp = loudness_ints(np.concatenate([head, tail]), sr)
     head_only = loudness_ints(head, sr)[3]
     assert gb < nb  # gate actually dropped blocks
     assert abs(lufs - head_only) <= 1500
@@ -78,16 +79,16 @@ def test_two_stage_gate_recovers_head_level():
 def test_degenerate_inputs():
     sr = 16000
     # true silence: blocks exist, all under the absolute gate, NULL lufs
-    n, nb, gb, lufs, peak = loudness_ints(np.zeros(sr, np.int16), sr)
-    assert nb > 0 and gb == 0 and lufs is None and peak is None
+    n, nb, gb, lufs, peak, tp = loudness_ints(np.zeros(sr, np.int16), sr)
+    assert nb > 0 and gb == 0 and lufs is None and peak is None and tp is None
     # below the absolute gate (-80 dB tone): NULL lufs, real peak
-    n, nb, gb, lufs, peak = loudness_ints(_sine(440, sr, 1.0, amp=3.2767), sr)
+    n, nb, gb, lufs, peak, tp = loudness_ints(_sine(440, sr, 1.0, amp=3.2767), sr)
     assert gb == 0 and lufs is None and peak is not None
     # shorter than one 400 ms block: no blocks, NULL lufs
-    n, nb, gb, lufs, peak = loudness_ints(_sine(440, sr, 0.2), sr)
+    n, nb, gb, lufs, peak, tp = loudness_ints(_sine(440, sr, 0.2), sr)
     assert nb == 0 and lufs is None
     # empty / bad rate
-    assert loudness_ints(np.empty(0, np.int16), sr) == (0, 0, 0, None, None)
+    assert loudness_ints(np.empty(0, np.int16), sr) == (0, 0, 0, None, None, None)
     assert loudness_ints(_sine(440, sr, 1.0), 0)[3] is None
 
 
@@ -107,3 +108,26 @@ def test_audio_loudness_spark_matches_fixture(spark, tmp_path):
     assert len(got) == len(exp) and len(got) >= 30
     for g, e in zip(got, exp):
         assert g.asDict() == e.asDict(), g.clip_id
+
+
+def test_true_peak_sees_intersample_overs():
+    """The canonical inter-sample over: a full-scale fs/4 sine sampled 45
+    degrees off its crest has sample peak -3.01 dBFS but TRUE peak ~0
+    dBTP — the 4x polyphase reconstruction must recover it within the
+    interpolator's ripple; for a crest-sampled tone both peaks agree."""
+    from valor_spark.operators.loudness import loudness_ints, true_peak
+
+    sr = 48000
+    n = np.arange(sr)
+    off = np.clip(
+        np.round(32767.0 * np.sin(2.0 * np.pi * n / 4.0 + np.pi / 4.0)),
+        -32768, 32767,
+    ).astype(np.int16)
+    _m, _nb, _gb, _lufs, peak, tp = loudness_ints(off, sr)
+    assert abs(peak - (-3010)) <= 5       # sample peak misses the crest
+    assert abs(tp) <= 150                 # true peak recovers ~0 dBTP
+    # crest-sampled 997 Hz tone: true peak within ripple of sample peak
+    crest = _sine(997, sr, 1.0)
+    _m, _nb, _gb, _lufs, peak2, tp2 = loudness_ints(crest, sr)
+    assert tp2 >= peak2 - 5 and tp2 - peak2 <= 100
+    assert true_peak(np.zeros(16, np.float64)) == 0.0

@@ -33,8 +33,11 @@ calibration point).
 Outputs are INTEGER milli-units from bit-identical float64 pipelines
 (canonicalizer-safe): ``lufs_milli`` (1000 x integrated LKFS, NULL when
 every block is gated out — true silence has no loudness), gating
-diagnostics (``n_blocks``, ``gated_blocks``), and ``peak_milli_dbfs``
-(sample peak, NULL for all-zero signals).
+diagnostics (``n_blocks``, ``gated_blocks``), ``peak_milli_dbfs``
+(sample peak, NULL for all-zero signals), and ``true_peak_milli_dbtp``
+(BS.1770-4 Annex 2 shape: 4x-oversampled inter-sample peak through a
+48-tap windowed-sinc polyphase — catches overs the sample peak misses,
+e.g. a full-scale tone sampled off its crest).
 
 Scale shape: ONE ``mapInArrow`` pass over the pruned
 ``(clip_id, bytes, codec, sr_hz)`` projection — no shuffle, zero-copy
@@ -133,6 +136,38 @@ def k_power_response(n_fft: int, sr: int) -> np.ndarray:
     return h2(b1, a1) * h2(b2, a2)
 
 
+#: true-peak estimator (BS.1770-4 Annex 2 shape): 4x oversampling with a
+#: 48-tap windowed-sinc polyphase interpolator (12 taps per phase)
+_TP_L = 4
+_TP_TAPS = 48
+
+
+@lru_cache(maxsize=1)
+def tp_phases() -> np.ndarray:
+    """``(L, taps/L)`` polyphase decomposition of the Kaiser-windowed sinc
+    interpolation prototype — cached per worker.  Phase p evaluates the
+    band-limited reconstruction at inter-sample position p/L."""
+    c = (_TP_TAPS - 1) / 2.0
+    n = np.arange(_TP_TAPS)
+    h = np.sinc((n - c) / _TP_L) * np.kaiser(_TP_TAPS, 8.0)
+    return np.stack([h[p::_TP_L] for p in range(_TP_L)])
+
+
+def true_peak(x: np.ndarray) -> float:
+    """Inter-sample (true) peak of float signal ``x``: max |value| over the
+    4x band-limited reconstruction — catches the overs a sample-peak meter
+    misses (e.g. a full-scale tone sampled off its crest)."""
+    if len(x) == 0:
+        return 0.0
+    peak = float(np.max(np.abs(x)))
+    for ph in tp_phases():
+        v = np.convolve(x, ph, mode="full")
+        m = float(np.max(np.abs(v)))
+        if m > peak:
+            peak = m
+    return peak
+
+
 def _block_mean_squares(x: np.ndarray, sr: int) -> np.ndarray:
     """K-weighted mean square of every 400 ms / 100 ms-hop block of
     float signal ``x`` — one batched rFFT over all blocks, one weighted
@@ -154,39 +189,49 @@ def _block_mean_squares(x: np.ndarray, sr: int) -> np.ndarray:
 
 def loudness_ints(
     sig: np.ndarray, sr: int
-) -> tuple[int, int, int, int | None, int | None]:
+) -> tuple[int, int, int, int | None, int | None, int | None]:
     """Integer loudness summary of one int16 PCM signal:
-    ``(n_samples, n_blocks, gated_blocks, lufs_milli, peak_milli_dbfs)``.
+    ``(n_samples, n_blocks, gated_blocks, lufs_milli, peak_milli_dbfs,
+    true_peak_milli_dbtp)``.
 
     ``lufs_milli`` is NULL when no block survives the two-stage gate
-    (silence / sub-400 ms clips); ``peak_milli_dbfs`` is NULL for
-    all-zero signals.  Pure float64 numpy in a fixed order — the same
-    input yields the same ints on every engine and partitioning."""
+    (silence / sub-400 ms clips); both peaks are NULL for all-zero
+    signals.  Pure float64 numpy in a fixed order — the same input
+    yields the same ints on every engine and partitioning."""
     m = int(len(sig))
     if m == 0 or sr <= 0:
-        return m, 0, 0, None, None
+        return m, 0, 0, None, None, None
     x = sig.astype(np.float64) / 32768.0
     peak = float(np.max(np.abs(x)))
     peak_milli = (
         int(round(1000.0 * 20.0 * np.log10(peak))) if peak > 0.0 else None
     )
+    tp = true_peak(x)
+    tp_milli = int(round(1000.0 * 20.0 * np.log10(tp))) if tp > 0.0 else None
     ms = _block_mean_squares(x, sr)
     n_blocks = int(len(ms))
     if n_blocks == 0:
-        return m, 0, 0, None, peak_milli
+        return m, 0, 0, None, peak_milli, tp_milli
     with np.errstate(divide="ignore"):
         lk = LKFS_OFFSET + 10.0 * np.log10(ms)
     abs_mask = lk > ABS_GATE_LKFS
     if not abs_mask.any():
-        return m, n_blocks, 0, None, peak_milli
+        return m, n_blocks, 0, None, peak_milli, tp_milli
     rel_gate = (
         LKFS_OFFSET + 10.0 * np.log10(np.mean(ms[abs_mask])) - REL_GATE_LU
     )
     mask = abs_mask & (lk > rel_gate)
     if not mask.any():
-        return m, n_blocks, 0, None, peak_milli
+        return m, n_blocks, 0, None, peak_milli, tp_milli
     lufs = LKFS_OFFSET + 10.0 * np.log10(np.mean(ms[mask]))
-    return m, n_blocks, int(mask.sum()), int(round(1000.0 * lufs)), peak_milli
+    return (
+        m,
+        n_blocks,
+        int(mask.sum()),
+        int(round(1000.0 * lufs)),
+        peak_milli,
+        tp_milli,
+    )
 
 
 def audio_loudness(clips: DataFrame) -> DataFrame:
@@ -205,7 +250,8 @@ def audio_loudness(clips: DataFrame) -> DataFrame:
     sel = clips.select("clip_id", "bytes", "codec", "sr_hz")
     out_schema = (
         "clip_id string, n_samples int, n_blocks int, gated_blocks int, "
-        "lufs_milli int, peak_milli_dbfs int, decode_error string"
+        "lufs_milli int, peak_milli_dbfs int, true_peak_milli_dbtp int, "
+        "decode_error string"
     )
 
     def gen(batches):
@@ -221,6 +267,7 @@ def audio_loudness(clips: DataFrame) -> DataFrame:
             gated = np.zeros(n, np.int32)
             lufs: list[int | None] = [None] * n
             peak: list[int | None] = [None] * n
+            tpeak: list[int | None] = [None] * n
             errors: list[str | None] = [None] * n
             for i in range(n):
                 rw = get_bytes(i)
@@ -239,9 +286,14 @@ def audio_loudness(clips: DataFrame) -> DataFrame:
                         errors[i] = err
                         continue
                 sr = rates[i] if rates[i] is not None else 0
-                n_samples[i], n_blocks[i], gated[i], lufs[i], peak[i] = (
-                    loudness_ints(sig, sr)
-                )
+                (
+                    n_samples[i],
+                    n_blocks[i],
+                    gated[i],
+                    lufs[i],
+                    peak[i],
+                    tpeak[i],
+                ) = loudness_ints(sig, sr)
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(0),
@@ -250,6 +302,7 @@ def audio_loudness(clips: DataFrame) -> DataFrame:
                     pa.array(gated, pa.int32()),
                     pa.array(lufs, pa.int32()),
                     pa.array(peak, pa.int32()),
+                    pa.array(tpeak, pa.int32()),
                     pa.array(errors, pa.string()),
                 ],
                 schema=pa.schema(
@@ -260,6 +313,7 @@ def audio_loudness(clips: DataFrame) -> DataFrame:
                         pa.field("gated_blocks", pa.int32()),
                         pa.field("lufs_milli", pa.int32()),
                         pa.field("peak_milli_dbfs", pa.int32()),
+                        pa.field("true_peak_milli_dbtp", pa.int32()),
                         pa.field("decode_error", pa.string()),
                     ]
                 ),

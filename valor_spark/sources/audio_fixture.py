@@ -670,7 +670,7 @@ def build_audio_loudness_fixture(fixture_dir: str) -> dict[str, str]:
 
     tag = _fixture_tag()
     paths = {
-        name: os.path.join(fixture_dir, f"clips_loudness_{name}_{tag}.parquet")
+        name: os.path.join(fixture_dir, f"clips_loudness_v2_{name}_{tag}.parquet")
         for name in ("data", "expected")
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -683,10 +683,10 @@ def build_audio_loudness_fixture(fixture_dir: str) -> dict[str, str]:
         if decoded is None:  # error plant: replay the engine's error string
             _sig, _r, err = decode_one(raw, codec)
             assert err is not None, cid
-            expected_rows.append((cid, 0, 0, 0, None, None, err))
+            expected_rows.append((cid, 0, 0, 0, None, None, None, err))
         else:
-            n, nb, gb, lufs, peak = loudness_ints(decoded, sr)
-            expected_rows.append((cid, n, nb, gb, lufs, peak, None))
+            n, nb, gb, lufs, peak, tp = loudness_ints(decoded, sr)
+            expected_rows.append((cid, n, nb, gb, lufs, peak, tp, None))
 
     pq.write_table(
         pa.table(
@@ -709,7 +709,8 @@ def build_audio_loudness_fixture(fixture_dir: str) -> dict[str, str]:
                 "gated_blocks": pa.array(cols[3], pa.int32()),
                 "lufs_milli": pa.array(cols[4], pa.int32()),
                 "peak_milli_dbfs": pa.array(cols[5], pa.int32()),
-                "decode_error": pa.array(cols[6], pa.string()),
+                "true_peak_milli_dbtp": pa.array(cols[6], pa.int32()),
+                "decode_error": pa.array(cols[7], pa.string()),
             }
         ),
         paths["expected"],
