@@ -906,6 +906,26 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_loudness(clips)
 
 
+def q_val_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loudness OPERATOR's output gated by the reference's RULE
+    ALGEBRA (plans/pipeline.py::loudness_rules): decode errors, an
+    unmeasurable-program rule, the R128-style [-30, -10] LUFS corpus
+    window, and the -1 dBTP clipping-risk line — adapt/field/make/conN
+    over integer milli-units, one shuffle-free Project on top of the
+    mapInArrow loudness pass.  The oracle is COMPUTED: DuckDB re-derives
+    every violation row from the expected loudness table with plain SQL
+    predicates (not a file replay), so the rule algebra itself is under
+    test, not just the decode arithmetic."""
+    from valor_spark.operators.loudness import audio_loudness
+    from valor_spark.plans.pipeline import loudness_rules
+    from valor_spark.sources.audio_fixture import build_audio_loudness_fixture
+
+    paths = build_audio_loudness_fixture(FIXTURE_DIR)
+    loud = audio_loudness(spark.read.parquet(paths["data"]))
+    res = validate(loud, loudness_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
+
+
 def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcode/gain-robust perceptual audio near-dup in the graded gate
     (operators/audio_fp.py::audio_near_dup_fp): Shazam-style spectral
@@ -1720,7 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_all": q_drift_all,
         "stream_drift": q_stream_drift,
         "dedup_exact": q_dedup_exact,
-        "text_profile": q_text_profile,
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "cosine_topk": q_cosine_topk,
@@ -1734,6 +1753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_profile": q_audio_profile,
         "audio_spectrum": q_audio_spectrum,
         "audio_loudness": q_audio_loudness,
+        "val_loudness": q_val_loudness,
         "audio_fp_dedup": q_audio_fp_dedup,
         "stream_audio_profile": q_stream_audio_profile,
         "jpeg_stats": q_jpeg_stats,
@@ -1791,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "customers_without_orders": q_customers_without_orders,
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
+        "text_profile": q_text_profile,
     }
 
 
@@ -2534,6 +2555,28 @@ def oracle_sql() -> dict[str, str]:
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
         "audio_loudness": f"SELECT * FROM read_parquet('{audio_loudness_expected}')",
         "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
+        # COMPUTED oracle: DuckDB re-derives the violation rows from the
+        # expected loudness table with the same predicates the rule algebra
+        # encodes (thresholds = plans/pipeline.py loudness-rule defaults)
+        "val_loudness": f"""
+            WITH e AS (SELECT * FROM read_parquet('{audio_loudness_expected}'))
+            SELECT clip_id, 'audio_decode' AS rule,
+                   'DecodeError:' || decode_error AS error
+            FROM e WHERE decode_error IS NOT NULL
+            UNION ALL
+            SELECT clip_id, 'loudness_measurable', 'Unmeasurable'
+            FROM e WHERE decode_error IS NULL AND lufs_milli IS NULL
+            UNION ALL
+            SELECT clip_id, 'loudness_range', 'TooQuiet:' || lufs_milli::VARCHAR
+            FROM e WHERE lufs_milli < -30000
+            UNION ALL
+            SELECT clip_id, 'loudness_range', 'TooLoud:' || lufs_milli::VARCHAR
+            FROM e WHERE lufs_milli > -10000
+            UNION ALL
+            SELECT clip_id, 'true_peak',
+                   'ClippingRisk:' || true_peak_milli_dbtp::VARCHAR
+            FROM e WHERE true_peak_milli_dbtp > -1000
+        """,
         "audio_dedup": f"SELECT * FROM read_parquet('{audio_dedup_expected}')",
         "image_dedup": f"SELECT * FROM read_parquet('{image_dhash_expected}')",
         # jpeg gate: spec-derived metadata table (dims from the source

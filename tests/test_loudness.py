@@ -131,3 +131,32 @@ def test_true_peak_sees_intersample_overs():
     _m, _nb, _gb, _lufs, peak2, tp2 = loudness_ints(crest, sr)
     assert tp2 >= peak2 - 5 and tp2 - peak2 <= 100
     assert true_peak(np.zeros(16, np.float64)) == 0.0
+
+
+def test_loudness_rules_fire_per_plant(spark, tmp_path):
+    """Every rule in the R128-style gate fires on its designed plant:
+    decode errors, unmeasurable silence/short rows, TooQuiet/TooLoud
+    window breaches, and the hot row's ClippingRisk; the -20 dB tones
+    pass clean."""
+    from valor_spark.plans.pipeline import loudness_rules
+    from valor_spark.plans.engine import validate
+    from valor_spark.sources.audio_fixture import build_audio_loudness_fixture
+
+    paths = build_audio_loudness_fixture(str(tmp_path))
+    loud = audio_loudness(spark.read.parquet(paths["data"]))
+    res = validate(loud, loudness_rules(), key_cols=["clip_id"])
+    rows = {(r.clip_id, r.rule, r.error) for r in
+            res.violations().select("clip_id", "rule", "error").collect()}
+    by_clip = {}
+    for cid, rule, err in rows:
+        by_clip.setdefault(cid, set()).add((rule, err.split(":")[0]))
+    assert ("audio_decode", "DecodeError") in by_clip["badcodec"]
+    assert ("audio_decode", "DecodeError") in by_clip["trunc"]
+    assert ("loudness_measurable", "Unmeasurable") in by_clip["silence"]
+    assert ("loudness_measurable", "Unmeasurable") in by_clip["too_short"]
+    assert ("loudness_measurable", "Unmeasurable") in by_clip["all_quiet"]
+    assert ("loudness_range", "TooQuiet") in by_clip["tone_440_40"]
+    assert ("loudness_range", "TooLoud") in by_clip["tone_440_3"]
+    assert ("true_peak", "ClippingRisk") in by_clip["hot"]
+    # the -20 dB tones sit inside every window: no violations at all
+    assert "tone_440_20" not in by_clip and "gate_0" not in by_clip

@@ -96,6 +96,87 @@ def speech_rate_rules(min_wpm: int = MIN_WPM, max_wpm: int = MAX_WPM) -> dict:
     }
 
 
+#: EBU R128-style corpus loudness gate (milli-units of operators/loudness.py)
+MIN_LUFS_MILLI = -30_000
+MAX_LUFS_MILLI = -10_000
+MAX_TRUE_PEAK_MILLI = -1_000
+
+
+def loudness_rules(
+    min_lufs_milli: int = MIN_LUFS_MILLI,
+    max_lufs_milli: int = MAX_LUFS_MILLI,
+    max_true_peak_milli: int = MAX_TRUE_PEAK_MILLI,
+) -> dict:
+    """Program-level audio gates over the ``audio_loudness`` OUTPUT frame
+    (operators/loudness.py) — the R128-style corpus window re-expressed in
+    the reference's rule algebra (adapt/field/make/conN over integer
+    milli-units, pure Column expressions, one shuffle-free Project):
+
+    * ``audio_decode``   — decode errors surface as rule violations;
+    * ``loudness_measurable`` — a decodable clip whose every gating block
+      fell under the -70 LKFS absolute gate has no program loudness
+      (silence / sub-400 ms) and cannot be level-checked;
+    * ``loudness_range`` — integrated loudness outside
+      [min_lufs_milli, max_lufs_milli];
+    * ``true_peak``      — inter-sample peak above max_true_peak_milli
+      (clipping risk under any downstream resample/encode).
+
+    NULL inputs are out of scope for range/peak rules (NULL comparisons
+    are NULL -> no error), mirroring the reference's passIf semantics."""
+    EA = EArray()
+
+    def _measurable(row):
+        return F.when(
+            row.getField("decode_error").isNull()
+            & row.getField("lufs_milli").isNull(),
+            EA.lit(["Unmeasurable"]),
+        )
+
+    return {
+        "audio_decode": adapt(
+            field("decode_error"),
+            make(
+                lambda c: F.when(
+                    c.isNotNull(), F.array(F.concat(F.lit("DecodeError:"), c))
+                ),
+                EA,
+            ),
+        ),
+        "loudness_measurable": make(_measurable, EA),
+        "loudness_range": adapt(
+            field("lufs_milli"),
+            conN(
+                make(
+                    lambda c: F.when(
+                        c < min_lufs_milli,
+                        F.array(F.concat(F.lit("TooQuiet:"), c.cast("string"))),
+                    ),
+                    EA,
+                ),
+                make(
+                    lambda c: F.when(
+                        c > max_lufs_milli,
+                        F.array(F.concat(F.lit("TooLoud:"), c.cast("string"))),
+                    ),
+                    EA,
+                ),
+            ),
+        ),
+        "true_peak": adapt(
+            field("true_peak_milli_dbtp"),
+            make(
+                lambda c: F.when(
+                    c > max_true_peak_milli,
+                    F.array(
+                        F.concat(F.lit("ClippingRisk:"), c.cast("string"))
+                    ),
+                ),
+                EA,
+            ),
+        ),
+    }
+
+
 def clips_row_rules() -> dict:
     """Per-row schema/sanity rules over the input_hint columns — all pure
     Column expressions (one narrow select, no shuffle)."""

@@ -635,6 +635,9 @@ def _loudness_clip_set():
         add(f"gate_{j}", pcm.tobytes(), sr, "pcm_s16le", pcm)
     quiet = tone(440, -80, 16000, 1.5, phase_id=31)
     add("all_quiet", quiet.tobytes(), 16000, "pcm_s16le", quiet)
+    # near-full-scale row: true peak above the -1 dBTP clipping-risk line
+    hot = tone(997, -0.5, 48000, 1.2, phase_id=33)
+    add("hot", hot.tobytes(), 48000, "pcm_s16le", hot)
     zeros = np.zeros(16000, np.int16)
     add("silence", zeros.tobytes(), 16000, "pcm_s16le", zeros)
     short = tone(440, -20, 16000, 0.2, phase_id=32)
@@ -670,7 +673,7 @@ def build_audio_loudness_fixture(fixture_dir: str) -> dict[str, str]:
 
     tag = _fixture_tag()
     paths = {
-        name: os.path.join(fixture_dir, f"clips_loudness_v2_{name}_{tag}.parquet")
+        name: os.path.join(fixture_dir, f"clips_loudness_v3_{name}_{tag}.parquet")
         for name in ("data", "expected")
     }
     if all(os.path.exists(p) for p in paths.values()):
