@@ -906,6 +906,24 @@ def q_audio_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_loudness(clips)
 
 
+def q_audio_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective-bandwidth / upsample-provenance check in the graded gate
+    (operators/bandwidth.py::audio_bandwidth): Welch-averaged Hann power
+    spectrum per clip -> integer 95%/99% spectral rolloff and the
+    per-mille of power above sr/4.  Catches 'container says 48 kHz,
+    content says 4 kHz' — sample-rate metadata lying about upsampled
+    sources, which no other audio pass can see.  ONE shuffle-free
+    mapInArrow pass inheriting every decode_one codec.  Oracle reads
+    expected rows from the locally-reconstructed PCM (decode path
+    independently exercised; analytic anchors are the single-tone and
+    brickwall pytest landmarks)."""
+    from valor_spark.operators.bandwidth import audio_bandwidth
+    from valor_spark.sources.audio_fixture import build_audio_bandwidth_fixture
+
+    paths = build_audio_bandwidth_fixture(FIXTURE_DIR)
+    return audio_bandwidth(spark.read.parquet(paths["data"]))
+
+
 def q_val_loudness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The loudness OPERATOR's output gated by the reference's RULE
     ALGEBRA (plans/pipeline.py::loudness_rules): decode errors, an
@@ -1742,7 +1760,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "cosine_topk": q_cosine_topk,
         "val_speech_rate": q_val_speech_rate,
         "winnow_docs": q_winnow_docs,
         "winnow_pairs": q_winnow_pairs,
@@ -1754,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectrum": q_audio_spectrum,
         "audio_loudness": q_audio_loudness,
         "val_loudness": q_val_loudness,
+        "audio_bandwidth": q_audio_bandwidth,
         "audio_fp_dedup": q_audio_fp_dedup,
         "stream_audio_profile": q_stream_audio_profile,
         "jpeg_stats": q_jpeg_stats,
@@ -1812,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
         "text_profile": q_text_profile,
+        "cosine_topk": q_cosine_topk,
     }
 
 
@@ -2158,6 +2177,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_fp_fixture
 
     audio_fp_expected = build_audio_fp_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.audio_fixture import build_audio_bandwidth_fixture
+
+    audio_bw_expected = build_audio_bandwidth_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_jpeg_fixture
 
@@ -2555,6 +2577,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
         "audio_loudness": f"SELECT * FROM read_parquet('{audio_loudness_expected}')",
         "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
+        "audio_bandwidth": f"SELECT * FROM read_parquet('{audio_bw_expected}')",
         # COMPUTED oracle: DuckDB re-derives the violation rows from the
         # expected loudness table with the same predicates the rule algebra
         # encodes (thresholds = plans/pipeline.py loudness-rule defaults)

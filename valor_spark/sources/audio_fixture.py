@@ -859,3 +859,118 @@ def build_audio_fp_fixture(fixture_dir: str) -> dict[str, str]:
         paths["expected"],
     )
     return paths
+
+
+def _bandwidth_clip_set():
+    """(clip_id, bytes, sr_hz, codec, decoded_or_None) rows for the
+    effective-bandwidth gate: FFT-brickwalled noise at several cutoffs
+    inside a 48 kHz container (the 'metadata says 48 kHz, content says
+    4/8/16 kHz' upsample plants), honest full-band noise, an honest
+    telephony-rate clip, codec variants, silence and error plants.
+    ``decoded`` feeds the expected table (shared arithmetic, decode path
+    independently exercised; the analytic anchors are the single-tone
+    and brickwall pytest landmarks in tests/test_bandwidth.py)."""
+    import numpy as np
+
+    from valor_spark.operators import adpcm as AD
+    from valor_spark.operators.audio import ULAW_DECODE_LUT, encode_g711
+
+    def noise(seed, n, amp=9000.0):
+        rng = np.random.default_rng(seed)
+        return amp * rng.standard_normal(n)
+
+    def brickwall(x, sr, cutoff_hz):
+        spec = np.fft.rfft(x)
+        freqs = np.arange(spec.size) * (sr / len(x))
+        spec[freqs > cutoff_hz] = 0.0
+        return np.fft.irfft(spec, n=len(x))
+
+    def to_i16(x):
+        return np.clip(np.round(x), -32768, 32767).astype(np.int16)
+
+    rows = []
+    full = to_i16(noise(11, 48000))
+    rows.append(("bw_full48", full.tobytes(), 48000, "pcm_s16le", full))
+    for cut in (4000, 8000, 16000):
+        lim = to_i16(brickwall(noise(13 + cut, 48000), 48000, cut))
+        rows.append(
+            (f"bw_up{cut}", lim.tobytes(), 48000, "pcm_s16le", lim)
+        )
+    # honest telephony-rate clip: 8 kHz container, content fills its band
+    tele = to_i16(brickwall(noise(17, 16000), 8000, 3400))
+    rows.append(("bw_tele8k", tele.tobytes(), 8000, "pcm_s16le", tele))
+    # G.711 transcode of band-limited noise (codec inheritance)
+    src = to_i16(brickwall(noise(19, 16000), 8000, 3000) * 0.5)
+    enc = encode_g711(src, "mulaw")
+    rows.append(
+        ("bw_g711", enc, 8000, "pcm_mulaw", ULAW_DECODE_LUT[np.frombuffer(enc, np.uint8)])
+    )
+    # ADPCM of low-band content in a 16 kHz container
+    src = to_i16(brickwall(noise(23, 32000), 16000, 2000))
+    enc = AD.wav_ima_adpcm(src, rate=16000, block_align=256)
+    rows.append(("bw_adpcm", enc, 16000, "wav", _adpcm_decoded(enc, len(src))))
+    # a short clip (sub-frame zero-pad path) and degenerates
+    short = to_i16(noise(29, 1000))
+    rows.append(("bw_short", short.tobytes(), 48000, "pcm_s16le", short))
+    rows.append(("bw_silence", np.zeros(24000, np.int16).tobytes(), 48000, "pcm_s16le", np.zeros(24000, np.int16)))
+    pcm = to_i16(noise(31, 8000))
+    rows.append(("bw_trunc", S.wrap_wav(pcm, 16000)[:40], 16000, "wav", None))
+    rows.append(("bw_badcodec", pcm.tobytes(), 16000, "opus", None))
+    return rows
+
+
+def build_audio_bandwidth_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the bandwidth clips + expected parquets (idempotent);
+    expected rows are ``bandwidth_ints`` over the locally-derived PCM."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from valor_spark.operators.audio import decode_one
+    from valor_spark.operators.bandwidth import bandwidth_ints
+
+    tag = _fixture_tag()
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_bw_v1_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    data_rows, expected_rows = [], []
+    for cid, raw, sr, codec, decoded in _bandwidth_clip_set():
+        data_rows.append((cid, raw, sr, codec))
+        if decoded is None:
+            _sig, _r, err = decode_one(raw, codec)
+            assert err is not None, cid
+            expected_rows.append((cid, 0, None, None, None, err))
+        else:
+            n, r95, r99, hf = bandwidth_ints(decoded, sr)
+            expected_rows.append((cid, n, r95, r99, hf, None))
+
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in data_rows], pa.string()),
+                "bytes": pa.array([r[1] for r in data_rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in data_rows], pa.int32()),
+                "codec": pa.array([r[3] for r in data_rows], pa.string()),
+            }
+        ),
+        paths["data"],
+    )
+    cols = list(zip(*expected_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "n_samples": pa.array(cols[1], pa.int32()),
+                "rolloff95_hz": pa.array(cols[2], pa.int32()),
+                "rolloff99_hz": pa.array(cols[3], pa.int32()),
+                "hf_permille": pa.array(cols[4], pa.int32()),
+                "decode_error": pa.array(cols[5], pa.string()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
