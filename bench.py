@@ -83,6 +83,9 @@ HEADLINE = [
     # round-5 additions (same caveat: totals widen again)
     "drift_all",
     "audio_loudness",
+    "val_loudness",
+    "audio_fp_dedup",
+    "audio_bandwidth",
 ]
 
 
