@@ -963,6 +963,24 @@ def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_near_dup_fp(clips).select("clip_a", "clip_b")
 
 
+def q_audio_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-defect screening in the graded gate
+    (operators/defects.py::audio_defects): clipping (pinned-sample count
+    AND longest flat-top run — a run distinguishes hard clipping from a
+    legitimate single full-scale peak), dropouts (longest exact-zero run
+    in samples and ms — buffer underruns no level meter flags), and DC
+    offset (mean in per-mille of full scale).  One shuffle-free
+    mapInArrow pass; every decode_one codec inherited.  Oracle rows come
+    from pure-python arithmetic over explicit integer plant patterns
+    (audio_fixture.py::_py_defects) — independent of the engine's numpy
+    run-length code."""
+    from valor_spark.operators.defects import audio_defects
+    from valor_spark.sources.audio_fixture import build_audio_defects_fixture
+
+    paths = build_audio_defects_fixture(FIXTURE_DIR)
+    return audio_defects(spark.read.parquet(paths["data"]))
+
+
 def _ensure_stream_events(sf_dir: str) -> str:
     """Two-file parquet stream source over the sf_dir events (split by
     event_id parity) for the windowed-aggregation streaming gate."""
@@ -1744,9 +1762,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     K-weighted gated loudness) rotates in the same way in place of
     customers_without_orders (green r01-r04), and audio_fp_dedup
     (perceptual landmark near-dup) in place of uniq_custkeys_salted
-    (green r01-r04; its unsalted twin stays graded).  Across rounds every
-    operator therefore has an authoritative green driver row; the local
-    selfcheck still verifies all entries each run."""
+    (green r01-r04; its unsalted twin stays graded), and audio_defects
+    (clipping/dropout/DC screening) in place of dedup_exact (green
+    r01-r04).  Across rounds every operator therefore has an
+    authoritative green driver row; the local selfcheck still verifies
+    all entries each run."""
     return {
         # ---- graded window (first 50) -----------------------------------
         "val_orders": q_val_orders,
@@ -1757,7 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_first_per_user_type": q_events_first_per_user_type,
         "drift_all": q_drift_all,
         "stream_drift": q_stream_drift,
-        "dedup_exact": q_dedup_exact,
+        "audio_defects": q_audio_defects,
         "simhash_docs": q_simhash_docs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "val_speech_rate": q_val_speech_rate,
@@ -1829,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "customers_without_orders": q_customers_without_orders,
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
+        "dedup_exact": q_dedup_exact,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
     }
@@ -2180,6 +2201,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_bandwidth_fixture
 
     audio_bw_expected = build_audio_bandwidth_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.audio_fixture import build_audio_defects_fixture
+
+    audio_defects_expected = build_audio_defects_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_jpeg_fixture
 
@@ -2577,6 +2601,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_spectrum": f"SELECT * FROM read_parquet('{audio_spectrum_expected}')",
         "audio_loudness": f"SELECT * FROM read_parquet('{audio_loudness_expected}')",
         "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
+        "audio_defects": f"SELECT * FROM read_parquet('{audio_defects_expected}')",
         "audio_bandwidth": f"SELECT * FROM read_parquet('{audio_bw_expected}')",
         # COMPUTED oracle: DuckDB re-derives the violation rows from the
         # expected loudness table with the same predicates the rule algebra

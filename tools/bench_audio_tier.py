@@ -36,6 +36,10 @@ def make_spark():
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .config("spark.task.cpus", "2")
+        # payload rows are ~32 KB each: without this, a ~1 GB table reads
+        # as a handful of 128 MB splits and most cores idle — the same
+        # lever a 100 TB cluster run sets (or solves with more files)
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .getOrCreate()
     )
 

@@ -102,7 +102,13 @@ def fingerprint_ints(sig: np.ndarray, sr: int) -> tuple[np.ndarray, np.ndarray]:
         taken = 0
         for t2, f2 in peaks[i + 1 :]:
             dt = t2 - t1
-            if dt == 0:
+            if dt == 0 or f2 == f1:
+                # same-instant peaks carry no delta; SAME-FREQUENCY pairs
+                # are the steady-tone degenerate (a sustained tone or
+                # mains hum floods (f, f, dt) hashes at every offset —
+                # measured: they alone pair a third of a random-melody
+                # corpus below the frequency cap).  A landmark must
+                # encode a spectral TRANSITION.
                 continue
             if dt > MAX_DT or taken >= FANOUT:
                 break

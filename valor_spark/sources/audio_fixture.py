@@ -974,3 +974,139 @@ def build_audio_bandwidth_fixture(fixture_dir: str) -> dict[str, str]:
         paths["expected"],
     )
     return paths
+
+
+def _py_defects(vals, sr):
+    """Pure-python (no numpy) defect derivation over a literal sample
+    list — the INDEPENDENT oracle arithmetic for the defects gate:
+    (n, clipped, max_clip_run, max_zero_run, zero_ms, dc_permille)."""
+    n = len(vals)
+    if n == 0:
+        return 0, 0, 0, 0, (0 if sr > 0 else None), 0
+    clipped = sum(1 for v in vals if v >= 32767 or v <= -32768)
+
+    def max_run(pred):
+        best = cur = 0
+        for v in vals:
+            cur = cur + 1 if pred(v) else 0
+            best = max(best, cur)
+        return best
+
+    mcr = max_run(lambda v: v >= 32767 or v <= -32768)
+    mzr = max_run(lambda v: v == 0)
+    zms = int(mzr * 1000 // sr) if sr > 0 else None
+    mean = sum(vals) / n
+    # round-half-even like np.round/py round on the exact float
+    dc = round(1000.0 * mean / 32768.0)
+    return n, clipped, mcr, mzr, zms, int(dc)
+
+
+def _defects_clip_set():
+    """(clip_id, bytes, sr_hz, codec, vals_or_None) rows for the defect
+    gate.  PCM plants are EXPLICIT integer patterns whose truth is
+    derivable by _py_defects' elementary arithmetic; codec rows replay
+    the engine's decode (decode path shared, defect arithmetic still
+    independent); error plants carry vals=None."""
+    import numpy as np
+
+    from valor_spark.operators import adpcm as AD
+    from valor_spark.operators.audio import ULAW_DECODE_LUT, encode_g711
+
+    rows = []
+
+    def add_pcm(cid, vals, sr=16000):
+        arr = np.asarray(vals, np.int16)
+        rows.append((cid, arr.tobytes(), sr, "pcm_s16le", list(map(int, vals))))
+
+    # flat-topped clipping: two pinned runs, both polarities
+    pat = (
+        [1200] * 100 + [32767] * 37 + [-800] * 50 + [-32768] * 12
+        + [500, -500] * 100 + [32767] * 5
+    )
+    add_pcm("def_clip", pat)
+    # dropout: healthy tone-ish wiggle around a 480-sample digital-zero gap
+    wig = [3000, -3000, 2500, -2500] * 500
+    add_pcm("def_dropout", wig[:800] + [0] * 480 + wig[800:1600])
+    # DC offset: +10% of full scale with a symmetric wiggle on top
+    add_pcm("def_dc", [3277 + d for d in ([900, -900] * 800)])
+    # clean row: symmetric wiggle, no zeros, no pins
+    add_pcm("def_clean", [700, -700, 650, -650] * 400)
+    # all-zero (the 'silence is not a dropout' disambiguation is downstream)
+    add_pcm("def_silence", [0] * 16000)
+    # single full-scale sample: legitimate peak, run length 1
+    add_pcm("def_peak", [100] * 500 + [32767] + [100] * 500)
+    # mu-law transcode of the clip pattern: decoded pins sit at the codec
+    # ceiling (32124), NOT int16 full scale -> clipped_samples reads 0
+    # (the detector sees the decoded waveform; honest + documented)
+    src = np.asarray(pat, np.int16)
+    enc = encode_g711(src, "mulaw")
+    dec = ULAW_DECODE_LUT[np.frombuffer(enc, np.uint8)]
+    rows.append(("def_ulaw", enc, 16000, "pcm_mulaw", list(map(int, dec))))
+    # ADPCM round-trip of the dropout pattern (predictor ringing may
+    # shorten the exact-zero run; whatever the decode says is the truth)
+    src = np.asarray(wig[:800] + [0] * 480 + wig[800:1600], np.int16)
+    enc = AD.wav_ima_adpcm(src, rate=16000, block_align=256)
+    dec = _adpcm_decoded(enc, len(src))
+    rows.append(("def_adpcm", enc, 16000, "wav", list(map(int, dec))))
+    # error plants
+    rows.append(("def_trunc", S.wrap_wav(src, 16000)[:40], 16000, "wav", None))
+    rows.append(("def_badcodec", b"\x01\x02" * 50, 16000, "opus", None))
+    return rows
+
+
+def build_audio_defects_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the defect clips + expected parquets (idempotent); expected
+    rows come from the pure-python _py_defects arithmetic."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from valor_spark.operators.audio import decode_one
+
+    tag = _fixture_tag()
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_def_v1_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    data_rows, expected_rows = [], []
+    for cid, raw, sr, codec, vals in _defects_clip_set():
+        data_rows.append((cid, raw, sr, codec))
+        if vals is None:
+            _sig, _r, err = decode_one(raw, codec)
+            assert err is not None, cid
+            expected_rows.append((cid, 0, 0, 0, 0, None, 0, err))
+        else:
+            n, c, mcr, mzr, zms, dc = _py_defects(vals, sr)
+            expected_rows.append((cid, n, c, mcr, mzr, zms, dc, None))
+
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in data_rows], pa.string()),
+                "bytes": pa.array([r[1] for r in data_rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in data_rows], pa.int32()),
+                "codec": pa.array([r[3] for r in data_rows], pa.string()),
+            }
+        ),
+        paths["data"],
+    )
+    cols = list(zip(*expected_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "n_samples": pa.array(cols[1], pa.int32()),
+                "clipped_samples": pa.array(cols[2], pa.int32()),
+                "max_clip_run": pa.array(cols[3], pa.int32()),
+                "max_zero_run": pa.array(cols[4], pa.int32()),
+                "max_zero_run_ms": pa.array(cols[5], pa.int32()),
+                "dc_offset_permille": pa.array(cols[6], pa.int32()),
+                "decode_error": pa.array(cols[7], pa.string()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
