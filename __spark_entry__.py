@@ -981,6 +981,25 @@ def q_audio_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_defects(spark.read.parquet(paths["data"]))
 
 
+def q_val_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The defects OPERATOR's output gated by the reference's RULE ALGEBRA
+    (plans/pipeline.py::defect_rules): decode errors, a hard-clip run
+    gate, all-silence vs in-signal dropout disambiguation, and a DC-fault
+    line — adapt/field/make over all-integer columns, one shuffle-free
+    Project on top of the mapInArrow defects pass.  The oracle is
+    COMPUTED: DuckDB re-derives every violation row from the expected
+    defects table with plain SQL predicates, so the rule algebra itself
+    is under test, not just the run-length arithmetic."""
+    from valor_spark.operators.defects import audio_defects
+    from valor_spark.plans.pipeline import defect_rules
+    from valor_spark.sources.audio_fixture import build_audio_defects_fixture
+
+    paths = build_audio_defects_fixture(FIXTURE_DIR)
+    det = audio_defects(spark.read.parquet(paths["data"]))
+    res = validate(det, defect_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
+
+
 def _ensure_stream_events(sf_dir: str) -> str:
     """Two-file parquet stream source over the sf_dir events (split by
     event_id parity) for the windowed-aggregation streaming gate."""
@@ -1762,9 +1781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     K-weighted gated loudness) rotates in the same way in place of
     customers_without_orders (green r01-r04), and audio_fp_dedup
     (perceptual landmark near-dup) in place of uniq_custkeys_salted
-    (green r01-r04; its unsalted twin stays graded), and audio_defects
+    (green r01-r04; its unsalted twin stays graded), audio_defects
     (clipping/dropout/DC screening) in place of dedup_exact (green
-    r01-r04).  Across rounds every operator therefore has an
+    r01-r04), and val_defects (the defect metrics gated by the rule
+    algebra, computed SQL oracle) in place of simhash_docs (green
+    r01-r04; its LSH siblings minhash_lsh_pairs and simhash_pairs keep
+    the family covered).  Across rounds every operator therefore has an
     authoritative green driver row; the local selfcheck still verifies
     all entries each run."""
     return {
@@ -1778,7 +1800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_all": q_drift_all,
         "stream_drift": q_stream_drift,
         "audio_defects": q_audio_defects,
-        "simhash_docs": q_simhash_docs,
+        "val_defects": q_val_defects,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "val_speech_rate": q_val_speech_rate,
         "winnow_docs": q_winnow_docs,
@@ -1850,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
         "dedup_exact": q_dedup_exact,
+        "simhash_docs": q_simhash_docs,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
     }
@@ -2602,6 +2625,24 @@ def oracle_sql() -> dict[str, str]:
         "audio_loudness": f"SELECT * FROM read_parquet('{audio_loudness_expected}')",
         "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
         "audio_defects": f"SELECT * FROM read_parquet('{audio_defects_expected}')",
+        "val_defects": f"""
+            WITH e AS (SELECT * FROM read_parquet('{audio_defects_expected}'))
+            SELECT clip_id, 'audio_decode' AS rule,
+                   'DecodeError:' || decode_error AS error
+            FROM e WHERE decode_error IS NOT NULL
+            UNION ALL
+            SELECT clip_id, 'clipping', 'HardClipped:' || max_clip_run::VARCHAR
+            FROM e WHERE max_clip_run >= 4
+            UNION ALL
+            SELECT clip_id, 'silence', 'AllSilence'
+            FROM e WHERE n_samples > 0 AND max_zero_run = n_samples
+            UNION ALL
+            SELECT clip_id, 'dropout', 'Dropout:' || max_zero_run_ms::VARCHAR
+            FROM e WHERE max_zero_run < n_samples AND max_zero_run_ms >= 20
+            UNION ALL
+            SELECT clip_id, 'dc_offset', 'DCOffset:' || dc_offset_permille::VARCHAR
+            FROM e WHERE abs(dc_offset_permille) >= 20
+        """,
         "audio_bandwidth": f"SELECT * FROM read_parquet('{audio_bw_expected}')",
         # COMPUTED oracle: DuckDB re-derives the violation rows from the
         # expected loudness table with the same predicates the rule algebra

@@ -57,6 +57,34 @@ def test_transcode_hides_pins():
     assert _py_defects(vals, 16000)[1] == 0
 
 
+def test_defect_rules_violations(spark, tmp_path):
+    """defect_rules over the fixture: decode errors, the hard-clip run
+    gate, silence-vs-dropout disambiguation, and the DC line each fire on
+    exactly their plants; the clean and single-peak rows pass."""
+    from valor_spark.plans.engine import validate
+    from valor_spark.plans.pipeline import defect_rules
+
+    paths = build_audio_defects_fixture(str(tmp_path))
+    det = audio_defects(spark.read.parquet(paths["data"]))
+    res = validate(det, defect_rules(), key_cols=["clip_id"])
+    viol = {
+        (r.clip_id, r.rule): r.error
+        for r in res.violations().select("clip_id", "rule", "error").collect()
+    }
+    assert viol[("def_clip", "clipping")] == "HardClipped:37"
+    assert viol[("def_dropout", "dropout")] == "Dropout:30"
+    assert viol[("def_silence", "silence")] == "AllSilence"
+    assert ("def_silence", "dropout") not in viol  # silence is not a dropout
+    assert viol[("def_dc", "dc_offset")] == "DCOffset:100"
+    assert viol[("def_trunc", "audio_decode")].startswith("DecodeError:")
+    assert viol[("def_badcodec", "audio_decode")].startswith("DecodeError:")
+    clean = {"def_clean", "def_peak"}
+    assert not {k for k in viol if k[0] in clean}
+    # the rule tree stays one shuffle-free stage over the mapInArrow pass
+    plan = res.violations()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_audio_defects_spark_matches_fixture(spark, tmp_path):
     paths = build_audio_defects_fixture(str(tmp_path))
     got = (

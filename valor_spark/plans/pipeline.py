@@ -102,6 +102,94 @@ MAX_LUFS_MILLI = -10_000
 MAX_TRUE_PEAK_MILLI = -1_000
 
 
+#: waveform-defect corpus gates (units of operators/defects.py)
+CLIP_RUN_LIMIT = 4          # >= 4 consecutive pinned samples = hard clip
+DROPOUT_MS_LIMIT = 20       # >= 20 ms of exact zero inside audio = dropout
+DC_PERMILLE_LIMIT = 20      # |mean| >= 2 % of full scale = DC fault
+
+
+def defect_rules(
+    clip_run_limit: int = CLIP_RUN_LIMIT,
+    dropout_ms_limit: int = DROPOUT_MS_LIMIT,
+    dc_permille_limit: int = DC_PERMILLE_LIMIT,
+) -> dict:
+    """Waveform-defect gates over the ``audio_defects`` OUTPUT frame
+    (operators/defects.py) in the reference's rule algebra (adapt/field/
+    make over all-integer columns, pure Column expressions, one
+    shuffle-free Project):
+
+    * ``audio_decode`` — decode errors surface as rule violations;
+    * ``clipping``     — a pinned-sample RUN of ``clip_run_limit`` or more
+      (a run separates a hard-clipped chain from a legitimate single
+      full-scale peak, which passes);
+    * ``silence``      — every sample is exactly zero: the clip carries no
+      signal at all (kept distinct from ``dropout`` so downstream triage
+      differs — silence is a recording/upload fault, a dropout is a
+      splice/buffer fault);
+    * ``dropout``      — an exact-zero run of ``dropout_ms_limit`` ms or
+      longer INSIDE otherwise non-silent audio;
+    * ``dc_offset``    — |mean| at or above ``dc_permille_limit`` per-mille
+      of full scale.
+
+    Decode-error rows carry zeroed metrics, so the waveform rules are
+    naturally inert on them (passIf semantics, no explicit guard)."""
+
+    def _silence(row):
+        return F.when(
+            (row.getField("n_samples") > 0)
+            & (row.getField("max_zero_run") == row.getField("n_samples")),
+            EA.lit(["AllSilence"]),
+        )
+
+    def _dropout(row):
+        return F.when(
+            (row.getField("max_zero_run") < row.getField("n_samples"))
+            & (row.getField("max_zero_run_ms") >= dropout_ms_limit),
+            F.array(
+                F.concat(
+                    F.lit("Dropout:"),
+                    row.getField("max_zero_run_ms").cast("string"),
+                )
+            ),
+        )
+
+    return {
+        "audio_decode": adapt(
+            field("decode_error"),
+            make(
+                lambda c: F.when(
+                    c.isNotNull(), F.array(F.concat(F.lit("DecodeError:"), c))
+                ),
+                EA,
+            ),
+        ),
+        "clipping": adapt(
+            field("max_clip_run"),
+            make(
+                lambda c: F.when(
+                    c >= clip_run_limit,
+                    F.array(
+                        F.concat(F.lit("HardClipped:"), c.cast("string"))
+                    ),
+                ),
+                EA,
+            ),
+        ),
+        "silence": make(_silence, EA),
+        "dropout": make(_dropout, EA),
+        "dc_offset": adapt(
+            field("dc_offset_permille"),
+            make(
+                lambda c: F.when(
+                    F.abs(c) >= dc_permille_limit,
+                    F.array(F.concat(F.lit("DCOffset:"), c.cast("string"))),
+                ),
+                EA,
+            ),
+        ),
+    }
+
+
 def loudness_rules(
     min_lufs_milli: int = MIN_LUFS_MILLI,
     max_lufs_milli: int = MAX_LUFS_MILLI,
