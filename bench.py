@@ -86,6 +86,8 @@ HEADLINE = [
     "val_loudness",
     "audio_fp_dedup",
     "audio_bandwidth",
+    "audio_defects",
+    "val_defects",
 ]
 
 
