@@ -1000,6 +1000,26 @@ def q_val_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("clip_id", "rule", "error")
 
 
+def q_resample_tones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-rate canonicalization in the graded gate
+    (operators/resample.py::audio_resample_stats): Kaiser-windowed-sinc
+    polyphase L-up/M-down re-rate of every whitelist source rate to
+    16 kHz, ONE shuffle-free mapInArrow pass inheriting every
+    decode_one codec.  The gate grades the PLUMBING + arithmetic
+    contracts (output length ceiling, dominant-tone bin preserved across
+    the rate change, image/alias rejection implied by the near-Nyquist
+    plant's argmax, error propagation); kernel QUALITY (>= 70 dB SNR vs
+    analytic tones, stopband floors) is pytest-gated where the spec
+    frequencies are known (tests/test_resample.py).  Expected rows are
+    PURE ARITHMETIC from the plant spec (ceil(n*L/M), nearest-bin
+    round-trip) — no shared resampler code."""
+    from valor_spark.operators.resample import audio_resample_stats
+    from valor_spark.sources.audio_fixture import build_audio_resample_fixture
+
+    paths = build_audio_resample_fixture(FIXTURE_DIR)
+    return audio_resample_stats(spark.read.parquet(paths["data"]))
+
+
 def _ensure_stream_events(sf_dir: str) -> str:
     """Two-file parquet stream source over the sf_dir events (split by
     event_id parity) for the windowed-aggregation streaming gate."""
@@ -1786,9 +1806,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r01-r04), and val_defects (the defect metrics gated by the rule
     algebra, computed SQL oracle) in place of simhash_docs (green
     r01-r04; its LSH siblings minhash_lsh_pairs and simhash_pairs keep
-    the family covered).  Across rounds every operator therefore has an
-    authoritative green driver row; the local selfcheck still verifies
-    all entries each run."""
+    the family covered), and resample_tones (polyphase re-rate
+    canonicalization) in place of contamination (green r03-r04; its
+    shingle-join sibling minhash_lsh_pairs stays graded).  Across rounds
+    every operator therefore has an authoritative green driver row; the
+    local selfcheck still verifies all entries each run."""
     return {
         # ---- graded window (first 50) -----------------------------------
         "val_orders": q_val_orders,
@@ -1823,7 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "dedup_pipeline": q_dedup_pipeline,
         "bigram_rarity": q_bigram_rarity,
-        "contamination": q_contamination,
+        "resample_tones": q_resample_tones,
         "stratified_docs": q_stratified_docs,
         "balanced_docs": q_balanced_docs,
         "asof_events": q_asof_events,
@@ -1873,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
         "dedup_exact": q_dedup_exact,
         "simhash_docs": q_simhash_docs,
+        "contamination": q_contamination,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
     }
@@ -2227,6 +2250,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_defects_fixture
 
     audio_defects_expected = build_audio_defects_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.audio_fixture import build_audio_resample_fixture
+
+    audio_resample_expected = build_audio_resample_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_jpeg_fixture
 
@@ -2625,6 +2651,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_loudness": f"SELECT * FROM read_parquet('{audio_loudness_expected}')",
         "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
         "audio_defects": f"SELECT * FROM read_parquet('{audio_defects_expected}')",
+        "resample_tones": f"SELECT * FROM read_parquet('{audio_resample_expected}')",
         "val_defects": f"""
             WITH e AS (SELECT * FROM read_parquet('{audio_defects_expected}'))
             SELECT clip_id, 'audio_decode' AS rule,

@@ -1110,3 +1110,124 @@ def build_audio_defects_fixture(fixture_dir: str) -> dict[str, str]:
         paths["expected"],
     )
     return paths
+
+
+def _resample_expected(f_hz: int, n_in: int, sr_in: int, sr_out: int):
+    """(n_out, dom_hz) by PURE ARITHMETIC from the plant spec: output
+    length is ceil(n_in * L / M); the dominant rFFT bin of a strong tone
+    is the grid bin nearest f (plants are chosen so f lands exactly on or
+    decisively nearest a bin), reported back as round(bin * sr / n)."""
+    import math
+
+    g = math.gcd(sr_in, sr_out)
+    l, m = sr_out // g, sr_in // g
+    n_out = -((-n_in * l) // m)
+    dom_bin = round(f_hz * n_out / sr_out)
+    dom_hz = round(dom_bin * sr_out / n_out)
+    return n_out, dom_hz
+
+
+def _resample_clip_set(target_sr: int = 16000):
+    """(clip_id, bytes, sr_hz, codec, expected_row) plants for the
+    re-rate gate: every source rate the corpus whitelist allows, both
+    directions, fractional-length rows, codec rows (mu-law, ADPCM), a
+    near-source-Nyquist tone (its 12.5 kHz image must NOT win the
+    spectrum after upsampling), and error plants."""
+    import numpy as np
+
+    from valor_spark.operators import adpcm as AD
+    from valor_spark.operators.audio import encode_g711
+
+    def tone(f, sr, n, amp=20000.0, phase=0.3):
+        t = np.arange(n) / sr
+        x = amp * np.sin(2 * np.pi * f * t + phase)
+        return np.clip(np.rint(x), -32768, 32767).astype(np.int16)
+
+    rows = []
+
+    def add(cid, f, sr, n, codec="pcm_s16le", raw=None, n_dec=None):
+        pcm = tone(f, sr, n)
+        if raw is None:
+            raw = pcm.tobytes()
+        n_out, dom_hz = _resample_expected(f, n_dec or n, sr, target_sr)
+        rows.append(
+            (cid, raw, sr, codec,
+             (cid, sr, target_sr, n_dec or n, n_out, dom_hz, None))
+        )
+        return pcm
+
+    add("rs_44k", 1000, 44100, 44100)
+    add("rs_48k", 997, 48000, 48000)
+    add("rs_8k_up", 440, 8000, 8000)
+    add("rs_22k", 2500, 22050, 22050)
+    add("rs_24k", 3000, 24000, 24000)
+    add("rs_ident", 1234, target_sr, target_sr)
+    # fractional length: n_out = ceil(32193 * 160/441) exercises the
+    # ceiling, f=1000 still lands on an exact bin of the 11680-pt grid
+    add("rs_frac", 1000, 44100, 32193)
+    # near source Nyquist: the 3500 Hz tone must survive 8k->16k with its
+    # 12.5 kHz spectral image filtered out, or argmax lands on the image
+    add("rs_nyq_edge", 3500, 8000, 8000)
+    # mu-law 8 kHz tone (decode path shared with the engine; arithmetic
+    # expectations still spec-side)
+    p = tone(440, 8000, 8000)
+    add("rs_ulaw", 440, 8000, 8000, codec="pcm_mulaw",
+        raw=encode_g711(p, "mulaw"))
+    # ADPCM 24 kHz tone round-trip; decoded length checked by the helper
+    src = tone(1500, 24000, 24000)
+    enc = AD.wav_ima_adpcm(src, rate=24000, block_align=256)
+    _adpcm_decoded(enc, len(src))
+    add("rs_adpcm", 1500, 24000, 24000, codec="wav", raw=enc)
+    # error plants
+    rows.append(("rs_trunc", S.wrap_wav(src, 24000)[:40], 24000, "wav",
+                 ("rs_trunc", 24000, target_sr, 0, 0, 0,
+                  "decode_failed:wav_missing_chunks")))
+    rows.append(("rs_badrate", tone(500, 8000, 800).tobytes(), 0,
+                 "pcm_s16le",
+                 ("rs_badrate", 0, target_sr, 0, 0, 0, "bad_rate")))
+    return rows
+
+
+def build_audio_resample_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the re-rate clips + expected parquets (idempotent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tag = _fixture_tag()
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_rs_v1_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    rows = _resample_clip_set()
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in rows], pa.string()),
+                "bytes": pa.array([r[1] for r in rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in rows], pa.int32()),
+                "codec": pa.array([r[3] for r in rows], pa.string()),
+            }
+        ),
+        paths["data"],
+    )
+    exp = [r[4] for r in rows]
+    cols = list(zip(*exp))
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "src_sr": pa.array(cols[1], pa.int32()),
+                "out_sr": pa.array(cols[2], pa.int32()),
+                "n_in": pa.array(cols[3], pa.int32()),
+                "n_out": pa.array(cols[4], pa.int32()),
+                "dom_hz": pa.array(cols[5], pa.int32()),
+                "decode_error": pa.array(cols[6], pa.string()),
+            }
+        ),
+        paths["expected"],
+    )
+    return paths
