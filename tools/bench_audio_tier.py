@@ -128,7 +128,9 @@ def fp_experiment(spark, n_programs: int) -> dict:
 
 def loudness_experiment(spark) -> dict:
     from valor_spark.operators.bandwidth import audio_bandwidth
+    from valor_spark.operators.defects import audio_defects
     from valor_spark.operators.loudness import audio_loudness
+    from valor_spark.operators.resample import audio_resample_stats
     from valor_spark.sources import synthetic as S
 
     path = f"/tmp/loud_bench_{LOUD_N}"
@@ -139,7 +141,12 @@ def loudness_experiment(spark) -> dict:
     clips = spark.read.parquet(path)
     clips.count()  # warm file index
     out = {"clips": LOUD_N, "samples_per_clip_max": 16000}
-    for name, op in (("loudness", audio_loudness), ("bandwidth", audio_bandwidth)):
+    for name, op in (
+        ("loudness", audio_loudness),
+        ("bandwidth", audio_bandwidth),
+        ("defects", audio_defects),
+        ("resample", audio_resample_stats),
+    ):
         t0 = time.time()
         op(clips).write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
