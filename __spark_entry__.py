@@ -1000,6 +1000,25 @@ def q_val_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("clip_id", "rule", "error")
 
 
+def q_val_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bandwidth OPERATOR's output gated by the reference's RULE
+    ALGEBRA (plans/pipeline.py::bandwidth_rules): decode errors, an
+    unmeasurable-spectrum rule, and the upsample-provenance line
+    (claimed Nyquist 2x above the content's 99 % rolloff with no power
+    above rate/4 -> the metadata overstates the information content).
+    One shuffle-free Project on top of the mapInArrow bandwidth pass;
+    COMPUTED oracle — DuckDB re-derives every violation row from the
+    expected bandwidth table with plain SQL predicates."""
+    from valor_spark.operators.bandwidth import audio_bandwidth
+    from valor_spark.plans.pipeline import bandwidth_rules
+    from valor_spark.sources.audio_fixture import build_audio_bandwidth_fixture
+
+    paths = build_audio_bandwidth_fixture(FIXTURE_DIR)
+    bw = audio_bandwidth(spark.read.parquet(paths["data"]))
+    res = validate(bw, bandwidth_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
+
+
 def q_resample_tones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-rate canonicalization in the graded gate
     (operators/resample.py::audio_resample_stats): Kaiser-windowed-sinc
@@ -1808,7 +1827,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r01-r04; its LSH siblings minhash_lsh_pairs and simhash_pairs keep
     the family covered), and resample_tones (polyphase re-rate
     canonicalization) in place of contamination (green r03-r04; its
-    shingle-join sibling minhash_lsh_pairs stays graded).  Across rounds
+    shingle-join sibling minhash_lsh_pairs stays graded), and
+    val_bandwidth (upsample-provenance as rule-algebra gates, computed
+    SQL oracle) in place of bigram_rarity (green r03-r04).  Across rounds
     every operator therefore has an authoritative green driver row; the
     local selfcheck still verifies all entries each run."""
     return {
@@ -1844,7 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_props_map": q_val_props_map,
         "dup_clusters": q_dup_clusters,
         "dedup_pipeline": q_dedup_pipeline,
-        "bigram_rarity": q_bigram_rarity,
+        "val_bandwidth": q_val_bandwidth,
         "resample_tones": q_resample_tones,
         "stratified_docs": q_stratified_docs,
         "balanced_docs": q_balanced_docs,
@@ -1896,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "simhash_docs": q_simhash_docs,
         "contamination": q_contamination,
+        "bigram_rarity": q_bigram_rarity,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
     }
@@ -2652,6 +2674,19 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
         "audio_defects": f"SELECT * FROM read_parquet('{audio_defects_expected}')",
         "resample_tones": f"SELECT * FROM read_parquet('{audio_resample_expected}')",
+        "val_bandwidth": f"""
+            WITH e AS (SELECT * FROM read_parquet('{audio_bw_expected}'))
+            SELECT clip_id, 'audio_decode' AS rule,
+                   'DecodeError:' || decode_error AS error
+            FROM e WHERE decode_error IS NOT NULL
+            UNION ALL
+            SELECT clip_id, 'bandwidth_unmeasurable', 'Unmeasurable'
+            FROM e WHERE decode_error IS NULL AND rolloff99_hz IS NULL
+            UNION ALL
+            SELECT clip_id, 'upsample_provenance',
+                   'Upsampled:' || rolloff99_hz::VARCHAR
+            FROM e WHERE rolloff99_hz * 4 <= src_sr AND hf_permille <= 5
+        """,
         "val_defects": f"""
             WITH e AS (SELECT * FROM read_parquet('{audio_defects_expected}'))
             SELECT clip_id, 'audio_decode' AS rule,

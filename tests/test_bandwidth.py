@@ -71,3 +71,25 @@ def test_audio_bandwidth_spark_matches_fixture(spark, tmp_path):
     assert by_id["bw_up4000"].rolloff99_hz <= 4100
     assert by_id["bw_up4000"].hf_permille == 0
     assert by_id["bw_full48"].rolloff99_hz > 20000
+
+
+def test_bandwidth_rules_violations(spark, tmp_path):
+    """bandwidth_rules over the fixture: the three upsample plants fire
+    (including the ADPCM low-band row), silence is unmeasurable, decode
+    errors surface, and honest full-band/telephony rows pass."""
+    from valor_spark.plans.engine import validate
+    from valor_spark.plans.pipeline import bandwidth_rules
+
+    paths = build_audio_bandwidth_fixture(str(tmp_path))
+    bw = audio_bandwidth(spark.read.parquet(paths["data"]))
+    res = validate(bw, bandwidth_rules(), key_cols=["clip_id"])
+    viol = {
+        (r.clip_id, r.rule): r.error
+        for r in res.violations().select("clip_id", "rule", "error").collect()
+    }
+    ups = {k[0] for k in viol if k[1] == "upsample_provenance"}
+    assert ups == {"bw_up4000", "bw_up8000", "bw_adpcm"}
+    assert viol[("bw_silence", "bandwidth_unmeasurable")] == "Unmeasurable"
+    assert ("bw_full48", "upsample_provenance") not in viol
+    assert ("bw_tele8k", "upsample_provenance") not in viol
+    assert viol[("bw_trunc", "audio_decode")].startswith("DecodeError:")

@@ -83,16 +83,19 @@ def bandwidth_ints(
 
 
 def audio_bandwidth(clips: DataFrame) -> DataFrame:
-    """Per-clip effective-bandwidth table ``(clip_id, n_samples,
+    """Per-clip effective-bandwidth table ``(clip_id, src_sr, n_samples,
     rolloff95_hz, rolloff99_hz, hf_permille, decode_error)`` in ONE
     mapInArrow pass over the pruned payload projection — inherits every
-    ``decode_one`` codec."""
+    ``decode_one`` codec.  ``src_sr`` (the container's claimed rate) is
+    carried through so downstream provenance rules can compare content
+    bandwidth against the claimed Nyquist without a join back to the
+    clips table."""
     from valor_spark.operators.audio import _binary_views, decode_one
 
     sel = clips.select("clip_id", "bytes", "codec", "sr_hz")
     out_schema = (
-        "clip_id string, n_samples int, rolloff95_hz int, rolloff99_hz int, "
-        "hf_permille int, decode_error string"
+        "clip_id string, src_sr int, n_samples int, rolloff95_hz int, "
+        "rolloff99_hz int, hf_permille int, decode_error string"
     )
 
     def gen(batches):
@@ -129,6 +132,13 @@ def audio_bandwidth(clips: DataFrame) -> DataFrame:
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(0),
+                    pa.array(
+                        np.asarray(
+                            [r if r is not None else 0 for r in rates],
+                            np.int32,
+                        ),
+                        pa.int32(),
+                    ),
                     pa.array(n_samples, pa.int32()),
                     pa.array(r95, pa.int32()),
                     pa.array(r99, pa.int32()),
@@ -137,6 +147,7 @@ def audio_bandwidth(clips: DataFrame) -> DataFrame:
                 ],
                 names=[
                     "clip_id",
+                    "src_sr",
                     "n_samples",
                     "rolloff95_hz",
                     "rolloff99_hz",

@@ -102,6 +102,60 @@ MAX_LUFS_MILLI = -10_000
 MAX_TRUE_PEAK_MILLI = -1_000
 
 
+#: upsample-provenance gates (units of operators/bandwidth.py)
+UPSAMPLE_NYQ_FACTOR = 4     # content's 99% rolloff * 4 <= claimed rate
+UPSAMPLE_HF_PERMILLE_MAX = 5
+
+
+def bandwidth_rules(
+    nyq_factor: int = UPSAMPLE_NYQ_FACTOR,
+    hf_permille_max: int = UPSAMPLE_HF_PERMILLE_MAX,
+) -> dict:
+    """Provenance gates over the ``audio_bandwidth`` OUTPUT frame
+    (operators/bandwidth.py) in the reference's rule algebra:
+
+    * ``audio_decode`` — decode errors surface as rule violations;
+    * ``bandwidth_unmeasurable`` — decodable but silent/empty content has
+      no spectrum to judge;
+    * ``upsample_provenance`` — the container claims a rate whose Nyquist
+      is ``nyq_factor/2`` times above the content's 99 % rolloff AND
+      essentially no power sits above claimed-rate/4: the clip was
+      upsampled from a lower-rate original (or lossy-transcoded through
+      one), i.e. the metadata overstates the information content — the
+      corpus fault a sample-rate whitelist cannot see."""
+
+    def _unmeasurable(row):
+        return F.when(
+            row.getField("decode_error").isNull()
+            & row.getField("rolloff99_hz").isNull(),
+            EA.lit(["Unmeasurable"]),
+        )
+
+    def _upsampled(row):
+        r99 = row.getField("rolloff99_hz")
+        return F.when(
+            (r99 * nyq_factor <= row.getField("src_sr"))
+            & (row.getField("hf_permille") <= hf_permille_max),
+            F.array(
+                F.concat(F.lit("Upsampled:"), r99.cast("string"))
+            ),
+        )
+
+    return {
+        "audio_decode": adapt(
+            field("decode_error"),
+            make(
+                lambda c: F.when(
+                    c.isNotNull(), F.array(F.concat(F.lit("DecodeError:"), c))
+                ),
+                EA,
+            ),
+        ),
+        "bandwidth_unmeasurable": make(_unmeasurable, EA),
+        "upsample_provenance": make(_upsampled, EA),
+    }
+
+
 #: waveform-defect corpus gates (units of operators/defects.py)
 CLIP_RUN_LIMIT = 4          # >= 4 consecutive pinned samples = hard clip
 DROPOUT_MS_LIMIT = 20       # >= 20 ms of exact zero inside audio = dropout

@@ -930,7 +930,7 @@ def build_audio_bandwidth_fixture(fixture_dir: str) -> dict[str, str]:
 
     tag = _fixture_tag()
     paths = {
-        name: os.path.join(fixture_dir, f"clips_bw_v1_{name}_{tag}.parquet")
+        name: os.path.join(fixture_dir, f"clips_bw_v2_{name}_{tag}.parquet")
         for name in ("data", "expected")
     }
     if all(os.path.exists(p) for p in paths.values()):
@@ -943,10 +943,10 @@ def build_audio_bandwidth_fixture(fixture_dir: str) -> dict[str, str]:
         if decoded is None:
             _sig, _r, err = decode_one(raw, codec)
             assert err is not None, cid
-            expected_rows.append((cid, 0, None, None, None, err))
+            expected_rows.append((cid, sr, 0, None, None, None, err))
         else:
             n, r95, r99, hf = bandwidth_ints(decoded, sr)
-            expected_rows.append((cid, n, r95, r99, hf, None))
+            expected_rows.append((cid, sr, n, r95, r99, hf, None))
 
     pq.write_table(
         pa.table(
@@ -964,11 +964,12 @@ def build_audio_bandwidth_fixture(fixture_dir: str) -> dict[str, str]:
         pa.table(
             {
                 "clip_id": pa.array(cols[0], pa.string()),
-                "n_samples": pa.array(cols[1], pa.int32()),
-                "rolloff95_hz": pa.array(cols[2], pa.int32()),
-                "rolloff99_hz": pa.array(cols[3], pa.int32()),
-                "hf_permille": pa.array(cols[4], pa.int32()),
-                "decode_error": pa.array(cols[5], pa.string()),
+                "src_sr": pa.array(cols[1], pa.int32()),
+                "n_samples": pa.array(cols[2], pa.int32()),
+                "rolloff95_hz": pa.array(cols[3], pa.int32()),
+                "rolloff99_hz": pa.array(cols[4], pa.int32()),
+                "hf_permille": pa.array(cols[5], pa.int32()),
+                "decode_error": pa.array(cols[6], pa.string()),
             }
         ),
         paths["expected"],
