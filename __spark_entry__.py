@@ -1000,6 +1000,23 @@ def q_val_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("clip_id", "rule", "error")
 
 
+def q_audio_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED one-decode audio analytics in the graded gate
+    (operators/fused.py::audio_all_stats): all five per-clip metric
+    families — profile, spectrum, loudness, bandwidth, defects — from
+    ONE scan and ONE decode of the payload column, calling the same
+    per-family integer kernels the individual operators use (no metric
+    arithmetic of its own).  The 100 TB point: a corpus intake wants
+    every family, and five separate passes read+decode the bytes column
+    five times.  pytest pins fused == join-of-five on every plant; the
+    gate grades the fused row against a spec-side expected parquet."""
+    from valor_spark.operators.fused import audio_all_stats
+    from valor_spark.sources.audio_fixture import build_audio_fused_fixture
+
+    paths = build_audio_fused_fixture(FIXTURE_DIR)
+    return audio_all_stats(spark.read.parquet(paths["data"]))
+
+
 def q_val_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bandwidth OPERATOR's output gated by the reference's RULE
     ALGEBRA (plans/pipeline.py::bandwidth_rules): decode errors, an
@@ -1829,9 +1846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canonicalization) in place of contamination (green r03-r04; its
     shingle-join sibling minhash_lsh_pairs stays graded), and
     val_bandwidth (upsample-provenance as rule-algebra gates, computed
-    SQL oracle) in place of bigram_rarity (green r03-r04).  Across rounds
-    every operator therefore has an authoritative green driver row; the
-    local selfcheck still verifies all entries each run."""
+    SQL oracle) in place of bigram_rarity (green r03-r04), and
+    audio_all_stats (the fused one-decode pass over all five metric
+    families) in place of events_first_per_user_type (green r01-r04).
+    Across rounds every operator therefore has an authoritative green
+    driver row; the local selfcheck still verifies all entries each
+    run."""
     return {
         # ---- graded window (first 50) -----------------------------------
         "val_orders": q_val_orders,
@@ -1839,7 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "val_clips": q_val_clips,
         "uniq_custkeys": q_uniq_custkeys,
         "col_stats": q_col_stats,
-        "events_first_per_user_type": q_events_first_per_user_type,
+        "audio_all_stats": q_audio_all_stats,
         "drift_all": q_drift_all,
         "stream_drift": q_stream_drift,
         "audio_defects": q_audio_defects,
@@ -1918,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "contamination": q_contamination,
         "bigram_rarity": q_bigram_rarity,
+        "events_first_per_user_type": q_events_first_per_user_type,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
     }
@@ -2275,6 +2296,9 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_resample_fixture
 
     audio_resample_expected = build_audio_resample_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.audio_fixture import build_audio_fused_fixture
+
+    audio_fused_expected = build_audio_fused_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_jpeg_fixture
 
@@ -2674,6 +2698,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp_dedup": f"SELECT * FROM read_parquet('{audio_fp_expected}')",
         "audio_defects": f"SELECT * FROM read_parquet('{audio_defects_expected}')",
         "resample_tones": f"SELECT * FROM read_parquet('{audio_resample_expected}')",
+        "audio_all_stats": f"SELECT * FROM read_parquet('{audio_fused_expected}')",
         "val_bandwidth": f"""
             WITH e AS (SELECT * FROM read_parquet('{audio_bw_expected}'))
             SELECT clip_id, 'audio_decode' AS rule,

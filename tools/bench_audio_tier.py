@@ -155,10 +155,44 @@ def loudness_experiment(spark) -> dict:
     return out
 
 
+def fused_experiment(spark) -> dict:
+    """Fused one-decode pass vs the five family operators run
+    separately on the same corpus — the scan+decode economy claim."""
+    from valor_spark.operators.audio import audio_profile, audio_spectrum
+    from valor_spark.operators.bandwidth import audio_bandwidth
+    from valor_spark.operators.defects import audio_defects
+    from valor_spark.operators.fused import audio_all_stats
+    from valor_spark.operators.loudness import audio_loudness
+
+    path = f"/tmp/loud_bench_{LOUD_N}"
+    clips = spark.read.parquet(path)
+    clips.count()
+    out = {"clips": LOUD_N}
+    sep = 0.0
+    for name, op in (
+        ("profile", audio_profile),
+        ("spectrum", audio_spectrum),
+        ("loudness", audio_loudness),
+        ("bandwidth", audio_bandwidth),
+        ("defects", audio_defects),
+    ):
+        t0 = time.time()
+        op(clips).write.format("noop").mode("overwrite").save()
+        sep += time.time() - t0
+    out["five_separate_wall_sec"] = round(sep, 2)
+    t0 = time.time()
+    audio_all_stats(clips).write.format("noop").mode("overwrite").save()
+    out["fused_wall_sec"] = round(time.time() - t0, 2)
+    out["speedup"] = round(out["five_separate_wall_sec"] / out["fused_wall_sec"], 2)
+    out["fused_clips_per_sec"] = round(LOUD_N / out["fused_wall_sec"], 1)
+    return out
+
+
 def main() -> None:
     spark = make_spark()
     spark.sparkContext.setLogLevel("ERROR")
     print("AUDIO_TIER " + json.dumps({"loudness": loudness_experiment(spark)}))
+    print("AUDIO_TIER " + json.dumps({"fused": fused_experiment(spark)}))
     r1 = fp_experiment(spark, FP_PROGRAMS)
     r10 = fp_experiment(spark, 10 * FP_PROGRAMS)
     print(

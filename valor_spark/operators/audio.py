@@ -379,6 +379,30 @@ def audio_rules(snr_db_min: float = SNR_DB_MIN) -> dict:
     }
 
 
+def profile_ints(
+    sig: np.ndarray, silence_threshold: int = 512
+) -> tuple[int, int, int, int, int, int, int]:
+    """``(n_samples, peak_abs, sum_sq, n_clipped, n_silent, lead_silence,
+    trail_silence)`` for one int16 PCM signal — the per-clip arithmetic
+    of :func:`audio_profile`, shared with the fused one-decode pass
+    (operators/fused.py)."""
+    m = int(len(sig))
+    if m == 0:
+        return 0, 0, 0, 0, 0, 0, 0
+    a = np.abs(sig.astype(np.int32))
+    s64 = sig.astype(np.int64)
+    loud = np.nonzero(a >= int(silence_threshold))[0]
+    return (
+        m,
+        int(a.max()),
+        int(np.dot(s64, s64)),
+        int((a >= 32767).sum()),
+        m - len(loud),
+        int(loud[0]) if len(loud) else m,
+        int(m - 1 - loud[-1]) if len(loud) else m,
+    )
+
+
 def audio_profile(clips: DataFrame, silence_threshold: int = 512) -> DataFrame:
     """Per-clip PCM quality profile in ONE ``mapInArrow`` pass over the
     pruned ``(clip_id, bytes, codec)`` projection: sample count, peak

@@ -1232,3 +1232,91 @@ def build_audio_resample_fixture(fixture_dir: str) -> dict[str, str]:
         paths["expected"],
     )
     return paths
+
+
+def _fused_clip_set():
+    """(clip_id, bytes, sr_hz, codec) plants for the fused one-decode
+    gate: the defect plants (PCM patterns, mu-law, ADPCM, errors) plus a
+    997 Hz near-full-scale calibration tone (loudness interest) and
+    FFT-brickwalled noise in a 48 kHz container (bandwidth interest)."""
+    import numpy as np
+
+    rows = [r[:4] for r in _defects_clip_set()]
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    cal = np.clip(
+        np.rint(29000.0 * np.sin(2 * np.pi * 997.0 * t)), -32768, 32767
+    ).astype(np.int16)
+    rows.append(("fu_cal997", cal.tobytes(), sr, "pcm_s16le"))
+
+    rng = np.random.default_rng(47)
+    x = 9000.0 * rng.standard_normal(sr)
+    spec = np.fft.rfft(x)
+    freqs = np.arange(spec.size) * (sr / len(x))
+    spec[freqs > 4000.0] = 0.0
+    lim = np.clip(np.round(np.fft.irfft(spec, n=len(x))), -32768, 32767).astype(np.int16)
+    rows.append(("fu_up4k", lim.tobytes(), sr, "pcm_s16le"))
+    return rows
+
+
+def build_audio_fused_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the fused clips + expected parquets (idempotent).  Expected
+    rows call the SAME per-family kernels over locally-decoded PCM
+    (operators/fused.py::fused_ints) — the fusion plumbing, Arrow
+    batching, and error contract are what this gate proves; each
+    family's arithmetic has its own analytic anchors in pytest and its
+    own driver gate row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from valor_spark.operators.audio import decode_one
+    from valor_spark.operators.fused import FUSED_SCHEMA, fused_ints
+
+    tag = _fixture_tag()
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_fu_v1_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    import numpy as np
+
+    err_row = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, None, None,
+               None, None, None, 0, 0, None, 0)
+    data_rows, expected_rows = [], []
+    for cid, raw, sr, codec in _fused_clip_set():
+        data_rows.append((cid, raw, sr, codec))
+        if codec == "pcm_s16le":
+            sig, err = np.frombuffer(raw, "<i2"), None
+        else:
+            sig, _r, err = decode_one(raw, codec)
+        if err is not None:
+            expected_rows.append((cid, sr, *err_row, err))
+        else:
+            expected_rows.append((cid, sr, *fused_ints(sig, sr), None))
+
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in data_rows], pa.string()),
+                "bytes": pa.array([r[1] for r in data_rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in data_rows], pa.int32()),
+                "codec": pa.array([r[3] for r in data_rows], pa.string()),
+            }
+        ),
+        paths["data"],
+    )
+    names = [f.strip().split(" ")[0] for f in FUSED_SCHEMA.split(",")]
+    typemap = {"string": pa.string(), "int": pa.int32(), "bigint": pa.int64()}
+    types = [typemap[f.strip().split(" ")[1]] for f in FUSED_SCHEMA.split(",")]
+    cols = list(zip(*expected_rows))
+    pq.write_table(
+        pa.table(
+            {n: pa.array(list(c), t) for n, c, t in zip(names, cols, types)}
+        ),
+        paths["expected"],
+    )
+    return paths
