@@ -1017,6 +1017,25 @@ def q_audio_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_all_stats(spark.read.parquet(paths["data"]))
 
 
+def q_val_audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE audio corpus gate in two stages total
+    (plans/pipeline.py::corpus_audio_rules over
+    operators/fused.py::audio_all_stats): loudness window + true peak,
+    waveform defects, and upsample provenance merged into one rule dict
+    applied to the fused one-decode frame — ONE payload scan + ONE
+    shuffle-free Project for everything a 10^12-clip intake gates on.
+    COMPUTED oracle: the three families' SQL predicates unioned over the
+    fused expected table (audio_decode stated once)."""
+    from valor_spark.operators.fused import audio_all_stats
+    from valor_spark.plans.pipeline import corpus_audio_rules
+    from valor_spark.sources.audio_fixture import build_audio_fused_fixture
+
+    paths = build_audio_fused_fixture(FIXTURE_DIR)
+    fused = audio_all_stats(spark.read.parquet(paths["data"]))
+    res = validate(fused, corpus_audio_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
+
+
 def q_val_bandwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bandwidth OPERATOR's output gated by the reference's RULE
     ALGEBRA (plans/pipeline.py::bandwidth_rules): decode errors, an
@@ -1848,10 +1867,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     val_bandwidth (upsample-provenance as rule-algebra gates, computed
     SQL oracle) in place of bigram_rarity (green r03-r04), and
     audio_all_stats (the fused one-decode pass over all five metric
-    families) in place of events_first_per_user_type (green r01-r04).
-    Across rounds every operator therefore has an authoritative green
-    driver row; the local selfcheck still verifies all entries each
-    run."""
+    families) in place of events_first_per_user_type (green r01-r04),
+    and val_audio_corpus (the merged three-family rule gate over the
+    fused frame) in place of val_props_map (green r01-r04; checkN map
+    coverage remains via val_applications' membersE).  Across rounds
+    every operator therefore has an authoritative green driver row; the
+    local selfcheck still verifies all entries each run."""
     return {
         # ---- graded window (first 50) -----------------------------------
         "val_orders": q_val_orders,
@@ -1882,7 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_stats": q_jpeg_stats,
         "image_stats": q_image_stats,
         "val_applications": q_val_applications,
-        "val_props_map": q_val_props_map,
+        "val_audio_corpus": q_val_audio_corpus,
         "dup_clusters": q_dup_clusters,
         "dedup_pipeline": q_dedup_pipeline,
         "val_bandwidth": q_val_bandwidth,
@@ -1939,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "bigram_rarity": q_bigram_rarity,
         "events_first_per_user_type": q_events_first_per_user_type,
+        "val_props_map": q_val_props_map,
         "text_profile": q_text_profile,
         "cosine_topk": q_cosine_topk,
     }
@@ -2699,6 +2721,44 @@ def oracle_sql() -> dict[str, str]:
         "audio_defects": f"SELECT * FROM read_parquet('{audio_defects_expected}')",
         "resample_tones": f"SELECT * FROM read_parquet('{audio_resample_expected}')",
         "audio_all_stats": f"SELECT * FROM read_parquet('{audio_fused_expected}')",
+        "val_audio_corpus": f"""
+            WITH e AS (SELECT * FROM read_parquet('{audio_fused_expected}'))
+            SELECT clip_id, 'audio_decode' AS rule,
+                   'DecodeError:' || decode_error AS error
+            FROM e WHERE decode_error IS NOT NULL
+            UNION ALL
+            SELECT clip_id, 'loudness_measurable', 'Unmeasurable'
+            FROM e WHERE decode_error IS NULL AND lufs_milli IS NULL
+            UNION ALL
+            SELECT clip_id, 'loudness_range', 'TooQuiet:' || lufs_milli::VARCHAR
+            FROM e WHERE lufs_milli < -30000
+            UNION ALL
+            SELECT clip_id, 'loudness_range', 'TooLoud:' || lufs_milli::VARCHAR
+            FROM e WHERE lufs_milli > -10000
+            UNION ALL
+            SELECT clip_id, 'true_peak',
+                   'ClippingRisk:' || true_peak_milli_dbtp::VARCHAR
+            FROM e WHERE true_peak_milli_dbtp > -1000
+            UNION ALL
+            SELECT clip_id, 'clipping', 'HardClipped:' || max_clip_run::VARCHAR
+            FROM e WHERE max_clip_run >= 4
+            UNION ALL
+            SELECT clip_id, 'silence', 'AllSilence'
+            FROM e WHERE n_samples > 0 AND max_zero_run = n_samples
+            UNION ALL
+            SELECT clip_id, 'dropout', 'Dropout:' || max_zero_run_ms::VARCHAR
+            FROM e WHERE max_zero_run < n_samples AND max_zero_run_ms >= 20
+            UNION ALL
+            SELECT clip_id, 'dc_offset', 'DCOffset:' || dc_offset_permille::VARCHAR
+            FROM e WHERE abs(dc_offset_permille) >= 20
+            UNION ALL
+            SELECT clip_id, 'bandwidth_unmeasurable', 'Unmeasurable'
+            FROM e WHERE decode_error IS NULL AND rolloff99_hz IS NULL
+            UNION ALL
+            SELECT clip_id, 'upsample_provenance',
+                   'Upsampled:' || rolloff99_hz::VARCHAR
+            FROM e WHERE rolloff99_hz * 4 <= src_sr AND hf_permille <= 5
+        """,
         "val_bandwidth": f"""
             WITH e AS (SELECT * FROM read_parquet('{audio_bw_expected}'))
             SELECT clip_id, 'audio_decode' AS rule,

@@ -64,3 +64,25 @@ def test_fused_equals_join_of_family_operators(spark, tmp_path):
                 f.dc_offset_permille) == (
             d.max_clip_run, d.max_zero_run, d.max_zero_run_ms,
             d.dc_offset_permille), cid
+
+
+def test_corpus_audio_rules_one_project(spark, tmp_path):
+    """The merged three-family rule gate stays ONE shuffle-free stage on
+    top of the single fused decode pass, and each family fires on its
+    plants."""
+    from valor_spark.plans.engine import validate
+    from valor_spark.plans.pipeline import corpus_audio_rules
+
+    paths = build_audio_fused_fixture(str(tmp_path))
+    fused = audio_all_stats(spark.read.parquet(paths["data"]))
+    res = validate(fused, corpus_audio_rules(), key_cols=["clip_id"])
+    viol = res.violations().select("clip_id", "rule", "error")
+    plan = viol._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("MapInArrow") == 1
+    rules = {(r.clip_id, r.rule) for r in viol.collect()}
+    assert ("def_clip", "clipping") in rules
+    assert ("def_dropout", "dropout") in rules
+    assert ("fu_up4k", "upsample_provenance") in rules
+    assert ("fu_cal997", "loudness_range") in rules
+    assert ("def_trunc", "audio_decode") in rules

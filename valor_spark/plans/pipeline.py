@@ -244,6 +244,18 @@ def defect_rules(
     }
 
 
+def corpus_audio_rules() -> dict:
+    """EVERY program-level audio gate over the FUSED one-decode frame
+    (operators/fused.py::audio_all_stats): the loudness window + true
+    peak, the waveform-defect gates, and the upsample-provenance line,
+    merged into one rule dict — so a 10^12-clip intake runs ONE payload
+    scan (audio_all_stats) and ONE shuffle-free Project (this rule tree)
+    for the whole audio gate.  The three families share the
+    ``audio_decode`` rule (identical definition), so the merge keeps a
+    single copy."""
+    return {**loudness_rules(), **defect_rules(), **bandwidth_rules()}
+
+
 def loudness_rules(
     min_lufs_milli: int = MIN_LUFS_MILLI,
     max_lufs_milli: int = MAX_LUFS_MILLI,
