@@ -1000,6 +1000,81 @@ def q_val_defects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("clip_id", "rule", "error")
 
 
+def q_audio_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-channel layout + inter-channel QC in the gate
+    (operators/channels.py::audio_channels): stereo/N-channel 16-bit PCM
+    WAV decoded for REAL (stdlib container parse, de-interleave), exact
+    integer channel moments (sums of squares, inner product), dual-mono
+    bit-equality, and the two per-mille ratios (energy balance,
+    normalized correlation) — ONE shuffle-free mapInArrow pass.  The
+    oracle reads expected stats derived independently from the planted
+    channel lists by arbitrary-precision pure-python arithmetic
+    (sources/audio_fixture.py::_py_channels)."""
+    from valor_spark.operators.channels import audio_channels
+    from valor_spark.sources.audio_fixture import build_audio_channels_fixture
+
+    paths = build_audio_channels_fixture(FIXTURE_DIR)
+    return audio_channels(spark.read.parquet(paths["data"]))
+
+
+def q_val_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The channel-QC OPERATOR's output gated by the reference's RULE
+    ALGEBRA (plans/pipeline.py::channel_rules): decode errors, polarity
+    inversion (mono downmix cancels), dead-channel imbalance, and
+    dual-mono waste — adapt/field/make over all-integer columns, one
+    shuffle-free Project on top of the mapInArrow channels pass.  Mono
+    clips carry NULL pair metrics so every stereo rule is inert on them
+    by SQL null semantics.  The oracle is COMPUTED: DuckDB re-derives
+    the violation rows from the expected channels table with plain SQL
+    predicates, so the rule algebra itself is under test."""
+    from valor_spark.operators.channels import audio_channels
+    from valor_spark.plans.pipeline import channel_rules
+    from valor_spark.sources.audio_fixture import build_audio_channels_fixture
+
+    paths = build_audio_channels_fixture(FIXTURE_DIR)
+    ch = audio_channels(spark.read.parquet(paths["data"]))
+    res = validate(ch, channel_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
+
+
+def q_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC claims-vs-facts probe in the graded gate
+    (operators/flac.py::probe_flac): spec-implemented decode of real
+    FLAC bitstreams (STREAMINFO walk, fixed/constant/verbatim subframes,
+    Rice residuals, all three stereo decorrelation modes, CRC-8/16) in
+    ONE shuffle-free mapInArrow pass, emitting the container's CLAIMS
+    (rate, channels, bps, total samples, MD5) next to the decoded FACTS
+    (sample count, rate, MD5 verdict).  The oracle's expected rows
+    derive from the plant spec (sources/flac_fixture.py), with the
+    decode anchored independently by the published CRC check values and
+    the hashlib MD5 cross-check."""
+    from valor_spark.operators.flac import probe_flac
+    from valor_spark.sources.flac_fixture import build_flac_fixture
+
+    paths = build_flac_fixture(FIXTURE_DIR)
+    return probe_flac(spark.read.parquet(paths["data"]))
+
+
+def q_val_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC probe gated by the reference's RULE ALGEBRA
+    (plans/pipeline.py::flac_rules): decode/CRC/sample-count failures,
+    PCM-MD5 mismatches, STREAMINFO rate claims that contradict the
+    corpus metadata, and unknown-length streams — adapt/field/make over
+    the probe columns, one shuffle-free Project on top of the mapInArrow
+    decode pass.  Unparseable rows keep the claims rules inert via SQL
+    null semantics.  The oracle is COMPUTED: DuckDB re-derives every
+    violation row from the expected probe table with plain SQL
+    predicates, so the rule algebra itself is under test."""
+    from valor_spark.operators.flac import probe_flac
+    from valor_spark.plans.pipeline import flac_rules
+    from valor_spark.sources.flac_fixture import build_flac_fixture
+
+    paths = build_flac_fixture(FIXTURE_DIR)
+    probe = probe_flac(spark.read.parquet(paths["data"]))
+    res = validate(probe, flac_rules(), key_cols=["clip_id"])
+    return res.violations().select("clip_id", "rule", "error")
+
+
 def q_audio_all_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUSED one-decode audio analytics in the graded gate
     (operators/fused.py::audio_all_stats): all five per-clip metric
@@ -1870,7 +1945,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     families) in place of events_first_per_user_type (green r01-r04),
     and val_audio_corpus (the merged three-family rule gate over the
     fused frame) in place of val_props_map (green r01-r04; checkN map
-    coverage remains via val_applications' membersE).  Across rounds
+    coverage remains via val_applications' membersE), and finally the
+    late-round quartet audio_channels + val_channels (stereo/N-channel
+    inter-channel QC) and flac_meta + val_flac (spec-implemented FLAC
+    decode + claims gates) in place of minhash_lsh_pairs (green
+    r02-r04), dup_clusters (green r01-r04), dedup_pipeline (green
+    r01-r04) and val_acc_poke (green r01-r04; acc/poke semantics stay
+    pytest-pinned and val_combinators remains graded).  Across rounds
     every operator therefore has an authoritative green driver row; the
     local selfcheck still verifies all entries each run."""
     return {
@@ -1885,11 +1966,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift": q_stream_drift,
         "audio_defects": q_audio_defects,
         "val_defects": q_val_defects,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "audio_channels": q_audio_channels,
+        "val_channels": q_val_channels,
+        "flac_meta": q_flac_meta,
+        "val_flac": q_val_flac,
         "val_speech_rate": q_val_speech_rate,
         "winnow_docs": q_winnow_docs,
         "winnow_pairs": q_winnow_pairs,
-        "val_acc_poke": q_val_acc_poke,
         "val_combinators": q_val_combinators,
         "stream_validate": q_stream_validate,
         "val_audio": q_val_audio,
@@ -1904,8 +1987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": q_image_stats,
         "val_applications": q_val_applications,
         "val_audio_corpus": q_val_audio_corpus,
-        "dup_clusters": q_dup_clusters,
-        "dedup_pipeline": q_dedup_pipeline,
         "val_bandwidth": q_val_bandwidth,
         "resample_tones": q_resample_tones,
         "stratified_docs": q_stratified_docs,
@@ -1952,6 +2033,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_month": q_orders_by_month,
         # ---- rotated out for the round-5 additions (green r01-r04) ------
         "psi_event_types": q_psi_event_types,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dup_clusters": q_dup_clusters,
+        "dedup_pipeline": q_dedup_pipeline,
+        "val_acc_poke": q_val_acc_poke,
         "top_bigrams": q_top_bigrams,
         "customers_without_orders": q_customers_without_orders,
         "uniq_custkeys_salted": q_uniq_custkeys_salted,
@@ -2321,6 +2406,12 @@ def oracle_sql() -> dict[str, str]:
     from valor_spark.sources.audio_fixture import build_audio_fused_fixture
 
     audio_fused_expected = build_audio_fused_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.audio_fixture import build_audio_channels_fixture
+
+    audio_channels_expected = build_audio_channels_fixture(FIXTURE_DIR)["expected"]
+    from valor_spark.sources.flac_fixture import build_flac_fixture
+
+    flac_expected = build_flac_fixture(FIXTURE_DIR)["expected"]
     image_expected = build_image_fixture(FIXTURE_DIR)["expected"]
     from valor_spark.sources.image_fixture import build_jpeg_fixture
 
@@ -3431,6 +3522,55 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (
                      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
             FROM scored QUALIFY rank <= 3
+        """,
+        "audio_channels": (
+            f"SELECT * FROM read_parquet('{audio_channels_expected}')"
+        ),
+        # COMPUTED oracle: DuckDB re-derives the violation rows from the
+        # expected channels table with the same predicates the rule
+        # algebra encodes (thresholds = plans/pipeline.py channel-rule
+        # defaults); mono rows carry NULL pair metrics, so the stereo
+        # predicates are inert on them in SQL exactly as in the engine
+        "val_channels": f"""
+            WITH e AS (SELECT * FROM read_parquet('{audio_channels_expected}'))
+            SELECT clip_id, 'audio_decode' AS rule,
+                   'DecodeError:' || decode_error AS error
+            FROM e WHERE decode_error IS NOT NULL
+            UNION ALL
+            SELECT clip_id, 'phase_inversion',
+                   'PhaseInverted:' || phase_permille::VARCHAR
+            FROM e WHERE phase_permille <= -900
+            UNION ALL
+            SELECT clip_id, 'channel_imbalance',
+                   'Imbalance:' || balance_permille::VARCHAR
+            FROM e WHERE balance_permille >= 990 OR balance_permille <= 10
+            UNION ALL
+            SELECT clip_id, 'dual_mono', 'DualMono'
+            FROM e WHERE dual_mono = 1 AND ssq_l > 0
+        """,
+        "flac_meta": (
+            f"SELECT * FROM read_parquet('{flac_expected}')"
+        ),
+        # COMPUTED oracle: DuckDB re-derives the violation rows from the
+        # expected probe table with the same predicates flac_rules
+        # encodes; NULL claims keep the claims rules inert in SQL exactly
+        # as in the engine
+        "val_flac": f"""
+            WITH e AS (SELECT * FROM read_parquet('{flac_expected}'))
+            SELECT clip_id, 'flac_decode' AS rule,
+                   'DecodeError:' || decode_error AS error
+            FROM e WHERE decode_error IS NOT NULL
+            UNION ALL
+            SELECT clip_id, 'flac_md5', 'Md5Mismatch'
+            FROM e WHERE md5_ok = 0
+            UNION ALL
+            SELECT clip_id, 'flac_rate_claim',
+                   'RateClaimMismatch:' || claim_sample_rate::VARCHAR
+                       || '!=' || sr_hz::VARCHAR
+            FROM e WHERE claim_sample_rate != sr_hz
+            UNION ALL
+            SELECT clip_id, 'flac_unknown_length', 'UnknownLength'
+            FROM e WHERE claim_total_samples = 0
         """,
     }
     # stream execution, batch truth: the stateful streaming near-dup must

@@ -166,6 +166,10 @@ def decode_one(
             return ULAW_DECODE_LUT[np.frombuffer(raw, np.uint8)], None, None
         if codec == "pcm_alaw":
             return ALAW_DECODE_LUT[np.frombuffer(raw, np.uint8)], None, None
+        if codec == "flac":
+            from valor_spark.operators.flac import decode_flac_mono
+
+            return decode_flac_mono(raw)
         return None, None, f"unsupported_codec:{codec}"
     except Exception as exc:  # malformed container
         return None, None, f"decode_failed:{type(exc).__name__}"

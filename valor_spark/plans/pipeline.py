@@ -244,6 +244,131 @@ def defect_rules(
     }
 
 
+#: inter-channel corpus gates (units of operators/channels.py)
+PHASE_INVERT_PERMILLE = -900   # correlation <= -0.9 = polarity inversion
+IMBALANCE_HI_PERMILLE = 990    # >= 99 % of energy on one side = dead channel
+IMBALANCE_LO_PERMILLE = 10
+
+
+def channel_rules(
+    phase_invert_permille: int = PHASE_INVERT_PERMILLE,
+    imbalance_hi: int = IMBALANCE_HI_PERMILLE,
+    imbalance_lo: int = IMBALANCE_LO_PERMILLE,
+) -> dict:
+    """Inter-channel gates over the ``audio_channels`` OUTPUT frame
+    (operators/channels.py) in the reference's rule algebra (adapt/field/
+    make over all-integer columns, pure Column expressions, one
+    shuffle-free Project):
+
+    * ``audio_decode``      — decode errors surface as rule violations;
+    * ``phase_inversion``   — normalized inter-channel correlation at or
+      below ``phase_invert_permille`` per-mille (a mono downmix of the
+      clip cancels toward silence);
+    * ``channel_imbalance`` — the energy split leaves less than
+      ``imbalance_lo`` per-mille on one side (dead/broken channel);
+    * ``dual_mono``         — both channels bit-identical in a clip that
+      actually carries signal (store it mono instead).
+
+    Mono clips carry the pair metrics as NULL, so every stereo rule is
+    naturally inert on them (SQL null semantics, no explicit guard) —
+    the same pattern as decode-error rows in ``defect_rules``."""
+
+    def _dual(row):
+        return F.when(
+            (row.getField("dual_mono") == 1) & (row.getField("ssq_l") > 0),
+            EA.lit(["DualMono"]),
+        )
+
+    def _imbalance(row):
+        bal = row.getField("balance_permille")
+        return F.when(
+            (bal >= imbalance_hi) | (bal <= imbalance_lo),
+            F.array(F.concat(F.lit("Imbalance:"), bal.cast("string"))),
+        )
+
+    return {
+        "audio_decode": adapt(
+            field("decode_error"),
+            make(
+                lambda c: F.when(
+                    c.isNotNull(), F.array(F.concat(F.lit("DecodeError:"), c))
+                ),
+                EA,
+            ),
+        ),
+        "phase_inversion": adapt(
+            field("phase_permille"),
+            make(
+                lambda c: F.when(
+                    c <= phase_invert_permille,
+                    F.array(
+                        F.concat(F.lit("PhaseInverted:"), c.cast("string"))
+                    ),
+                ),
+                EA,
+            ),
+        ),
+        "channel_imbalance": make(_imbalance, EA),
+        "dual_mono": make(_dual, EA),
+    }
+
+
+def flac_rules() -> dict:
+    """Metadata-claims gates over the ``probe_flac`` OUTPUT frame
+    (operators/flac.py) in the reference's rule algebra — the
+    tier-validation question for a lossless corpus is "does the
+    container's STREAMINFO tell the truth about the audio?":
+
+    * ``flac_decode``       — malformed streams, CRC failures, claimed
+      total-sample counts the frames don't deliver (typed errors);
+    * ``flac_md5``          — the PCM MD5 claim does not match the
+      decoded samples (payload corruption a header-only scan misses);
+    * ``flac_rate_claim``   — STREAMINFO's sample rate disagrees with
+      the corpus metadata's ``sr_hz`` (the same header-vs-metadata gate
+      the WAV path runs as ``sr_header_consistent``);
+    * ``flac_unknown_length`` — ``total_samples = 0``: legal but
+      unbounded (duration unknowable without a full decode), which an
+      intake tier wants surfaced.
+
+    Rows with NULL metrics (unparseable streams) keep every claims rule
+    inert via SQL null semantics; the decode rule carries them."""
+
+    def _rate_claim(row):
+        claim, meta = row.getField("claim_sample_rate"), row.getField("sr_hz")
+        return F.when(
+            claim != meta,
+            F.array(
+                F.concat(
+                    F.lit("RateClaimMismatch:"),
+                    claim.cast("string"),
+                    F.lit("!="),
+                    meta.cast("string"),
+                )
+            ),
+        )
+
+    return {
+        "flac_decode": adapt(
+            field("decode_error"),
+            make(
+                lambda c: F.when(
+                    c.isNotNull(), F.array(F.concat(F.lit("DecodeError:"), c))
+                ),
+                EA,
+            ),
+        ),
+        "flac_md5": adapt(
+            field("md5_ok"),
+            make(lambda c: F.when(c == 0, EA.lit(["Md5Mismatch"])), EA),
+        ),
+        "flac_rate_claim": make(_rate_claim, EA),
+        "flac_unknown_length": adapt(
+            field("claim_total_samples"),
+            make(lambda c: F.when(c == 0, EA.lit(["UnknownLength"])), EA),
+        ),
+    }
+
+
 def corpus_audio_rules() -> dict:
     """EVERY program-level audio gate over the FUSED one-decode frame
     (operators/fused.py::audio_all_stats): the loudness window + true

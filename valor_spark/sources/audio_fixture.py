@@ -36,7 +36,7 @@ N_HEADER_MISMATCH = 5
 #: and the constants are baked into the fixture filenames, so a stale
 #: .fixtures dir can never grade new code against old ground truth
 #: (v2: compressed-codec plants — G.711 raw + WAV-contained, IMA ADPCM)
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3  # v3: FLAC plants in _codec_plants + flac/channels fixtures
 
 
 def _fixture_tag() -> str:
@@ -189,6 +189,23 @@ def _codec_plants() -> list[dict]:
         "wav",
         src,
         _adpcm_decoded(enc, len(src)),
+        extra_viol=[("sr_header_consistent", "SampleRateHeaderMismatch:8000!=16000")],
+    )
+    # FLAC (spec-implemented lossless codec, operators/flac.py): decoded
+    # PCM is bit-identical to the source, so the SNR gate sees infinity;
+    # the oracle's `decoded` IS the plant (lossless), not decoder output
+    from valor_spark.sources.flac_fixture import encode_flac
+
+    src = (11000 * np.sin(2 * np.pi * t * 37 / 2048)).astype(np.int16)
+    add("flac_ok", encode_flac(src, 16000), 16000, "flac", src, src)
+    # FLAC whose STREAMINFO lies about the sample rate vs corpus metadata
+    add(
+        "flac_hdr",
+        encode_flac(src, 16000, rate_claim=8000),
+        16000,
+        "flac",
+        src,
+        src,
         extra_viol=[("sr_header_consistent", "SampleRateHeaderMismatch:8000!=16000")],
     )
     return plants
@@ -1316,6 +1333,175 @@ def build_audio_fused_fixture(fixture_dir: str) -> dict[str, str]:
     pq.write_table(
         pa.table(
             {n: pa.array(list(c), t) for n, c, t in zip(names, cols, types)}
+        ),
+        paths["expected"],
+    )
+    return paths
+
+
+def _py_channels(chans: list[list[int]]):
+    """Independent pure-python derivation of the channel-QC row
+    ``(n_channels, n_frames, ssq_l, ssq_r, dot_lr, dual_mono,
+    balance_permille, phase_permille)`` from the planted integer
+    channel lists — arbitrary-precision ints for the moments, the same
+    elementary per-mille roundings operators/channels.py defines (the
+    expressions are one-liners; what the gate buys is bytes -> container
+    parse -> de-interleave -> moments being checked end-to-end)."""
+    import math
+
+    nch, n = len(chans), len(chans[0]) if chans else 0
+    l = chans[0]
+    l2 = sum(v * v for v in l)
+    if nch == 1:
+        return nch, n, l2, None, None, None, None, None
+    r = chans[1]
+    r2 = sum(v * v for v in r)
+    dot = sum(a * b for a, b in zip(l, r))
+    dual = int(l == r)
+    tot = l2 + r2
+    bal = int(round(1000.0 * l2 / tot)) if tot > 0 else None
+    phase = (
+        int(round(1000.0 * dot / math.sqrt(l2) / math.sqrt(r2)))
+        if l2 > 0 and r2 > 0
+        else None
+    )
+    return nch, n, l2, r2, dot, dual, bal, phase
+
+
+def _wav_multi(chans, sr: int) -> bytes:
+    """Interleave N int16 channel lists into a PCM WAV container."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    frames = np.stack([np.asarray(c, np.int16) for c in chans], axis=1)
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(len(chans))
+        w.setsampwidth(2)
+        w.setframerate(max(sr, 1))
+        w.writeframes(frames.tobytes())
+    return buf.getvalue()
+
+
+def _channels_clip_set():
+    """(clip_id, bytes, sr_hz, codec, channel_lists_or_None) plants for
+    the inter-channel gate: true stereo, dual mono, exact polarity
+    inversion, a dead channel, a barely-alive channel, mono WAV / raw
+    PCM / G.711-in-WAV mono fallbacks, a 3-channel layout, and error
+    plants."""
+    import numpy as np
+
+    from valor_spark.operators.audio import encode_g711
+
+    def tone(f, n, amp, phase=0.0, sr=16000):
+        t = np.arange(n) / sr
+        x = amp * np.sin(2 * np.pi * f * t + phase)
+        return [int(v) for v in np.clip(np.rint(x), -32768, 32767).astype(np.int64)]
+
+    rows = []
+    n = 1600
+    li = tone(440.0, n, 9000.0)
+    ri = tone(554.4, n, 7000.0, phase=0.7)
+    # true stereo: independent tones, no gate fires
+    rows.append(("ch_stereo_ok", _wav_multi([li, ri], 16000), 16000, "wav", [li, ri]))
+    # dual mono: both channels bit-identical
+    rows.append(("ch_dual_mono", _wav_multi([li, li], 16000), 16000, "wav", [li, li]))
+    # exact polarity inversion: R = -L  (phase_permille = -1000)
+    neg = [-v for v in li]
+    rows.append(("ch_inverted", _wav_multi([li, neg], 16000), 16000, "wav", [li, neg]))
+    # dead right channel: digital silence on one side (balance = 1000)
+    zer = [0] * n
+    rows.append(("ch_left_only", _wav_multi([li, zer], 16000), 16000, "wav", [li, zer]))
+    # barely-alive right channel: ~1e-4 of the energy (balance >= 990)
+    tiny = tone(554.4, n, 80.0, phase=0.7)
+    rows.append(("ch_dead_right", _wav_multi([li, tiny], 16000), 16000, "wav", [li, tiny]))
+    # mono WAV / raw PCM: pair metrics NULL, stereo rules inert
+    rows.append(("ch_mono_wav", _wav_multi([li], 16000), 16000, "wav", [li]))
+    raw = np.asarray(li, np.int16).tobytes()
+    rows.append(("ch_raw_pcm", raw, 16000, "pcm_s16le", [li]))
+    # 3-channel layout: honest n_channels, pair metrics over ch0/ch1
+    ci = tone(660.0, n, 5000.0, phase=1.1)
+    rows.append(("ch_3ch", _wav_multi([li, ri, ci], 16000), 16000, "wav", [li, ri, ci]))
+    # G.711-in-WAV (format tag 6): wave.Error -> shared mono decode
+    import struct
+
+    from valor_spark.operators.audio import ALAW_DECODE_LUT
+
+    enc = encode_g711(np.asarray(li, np.int16), "alaw")
+    dec = [int(v) for v in ALAW_DECODE_LUT[np.frombuffer(enc, np.uint8)]]
+    fmt = struct.pack("<HHIIHH", 6, 1, 16000, 16000, 1, 8)
+    chunks = b""
+    for cid_, body in ((b"fmt ", fmt), (b"data", enc)):
+        chunks += cid_ + struct.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    g711 = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rows.append(("ch_g711_wav", g711, 16000, "wav", [dec]))
+    # error plants
+    rows.append(("ch_trunc", _wav_multi([li, ri], 16000)[:40], 16000, "wav", None))
+    rows.append(("ch_null", None, 16000, "wav", None))
+    rows.append(("ch_badcodec", b"\x00\x01" * 64, 16000, "opus", None))
+    return rows
+
+
+def build_audio_channels_fixture(fixture_dir: str) -> dict[str, str]:
+    """Write the channel-QC clips + expected parquets (idempotent);
+    expected rows come from the pure-python _py_channels arithmetic over
+    the planted channel lists (error plants replay decode errors)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from valor_spark.operators.channels import channel_frames
+
+    tag = _fixture_tag()
+    paths = {
+        name: os.path.join(fixture_dir, f"clips_chan_v1_{name}_{tag}.parquet")
+        for name in ("data", "expected")
+    }
+    if all(os.path.exists(p) for p in paths.values()):
+        return paths
+    os.makedirs(fixture_dir, exist_ok=True)
+
+    data_rows, expected_rows = [], []
+    for cid, raw, sr, codec, chans in _channels_clip_set():
+        data_rows.append((cid, raw, sr, codec))
+        if chans is None:
+            _frames, err = channel_frames(raw, codec)
+            assert err is not None, cid
+            expected_rows.append(
+                (cid, 0, 0, None, None, None, None, None, None, err)
+            )
+        else:
+            expected_rows.append((cid, *_py_channels(chans), None))
+
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array([r[0] for r in data_rows], pa.string()),
+                "bytes": pa.array([r[1] for r in data_rows], pa.binary()),
+                "sr_hz": pa.array([r[2] for r in data_rows], pa.int32()),
+                "codec": pa.array([r[3] for r in data_rows], pa.string()),
+            }
+        ),
+        paths["data"],
+    )
+    cols = list(zip(*expected_rows))
+    pq.write_table(
+        pa.table(
+            {
+                "clip_id": pa.array(cols[0], pa.string()),
+                "n_channels": pa.array(cols[1], pa.int32()),
+                "n_frames": pa.array(cols[2], pa.int32()),
+                "ssq_l": pa.array(cols[3], pa.int64()),
+                "ssq_r": pa.array(cols[4], pa.int64()),
+                "dot_lr": pa.array(cols[5], pa.int64()),
+                "dual_mono": pa.array(cols[6], pa.int32()),
+                "balance_permille": pa.array(cols[7], pa.int32()),
+                "phase_permille": pa.array(cols[8], pa.int32()),
+                "decode_error": pa.array(cols[9], pa.string()),
+            }
         ),
         paths["expected"],
     )
