@@ -220,6 +220,7 @@ def embedding_near_dup_pairs(
     n_tables: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed.
 
@@ -230,26 +231,14 @@ def embedding_near_dup_pairs(
 
     Scale notes: the self-join is on (table, bucket) — near-linear for
     spread-out embeddings; exact verification touches only candidates."""
-    from valor_spark.operators.similarity import _f64, cosine, lsh_bucket
+    from valor_spark.operators.similarity import _f64, _with_tb, cosine
 
-    base = embeddings.select(
-        F.col(id_col).alias("vid"), _f64(F.col(vec_col)).alias("v")
-    )
-    banded = base.select(
-        "vid",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        lsh_bucket(F.col("v"), n_planes, t).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vid", "v", "tb.table", "tb.bucket")
+    vexpr = F.col(vec_col) if dim is not None else _f64(F.col(vec_col))
+    base = embeddings.select(F.col(id_col).alias("vid"), vexpr.alias("v"))
+    npart = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    # shared banding helper: cluster-derived spread + codegen-safe unrolled
+    # bucket signs when ``dim`` is known (see similarity._with_tb)
+    banded = _with_tb(base, "v", n_planes, n_tables, dim, spread_to=npart)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["table", "bucket"])
@@ -263,7 +252,7 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["id1", "id2"])
     )
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        cand.withColumn("cosine", F.round(cosine(F.col("v1"), F.col("v2"), dim), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )

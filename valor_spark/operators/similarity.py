@@ -25,26 +25,52 @@ def _f64(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product as a strict LEFT FOLD: ((0.0 + a0*b0) + a1*b1) + ...
+
+    ``dim=None``: the generic higher-order-function form — works for any
+    array length, but HOFs are CodegenFallback (interpreted per element),
+    which dominates wall time when the dot runs once per CANDIDATE PAIR
+    (knn_graph scored ~12M pairs x 64 dims interpreted at sf1.0).
+
+    ``dim=k``: the expression is unrolled to ``lit(0.0) + a[0]*b[0] + ...``
+    — plain GetArrayItem/Multiply/Add nodes.  The additions associate left
+    exactly like the fold and every op is the same IEEE double op, so
+    results are BIT-IDENTICAL to the HOF form.  Requires every array to
+    have exactly ``dim`` elements (a shorter array raises under ANSI where
+    the HOF form yields NULL).
+
+    CAUTION (measured, round 6): at dim=64 the unrolled form generates a
+    >8KB-bytecode method that HotSpot's DontCompileHugeMethods leaves in
+    the bytecode interpreter (~60us/eval); it beats the HOF form (~2x) but
+    loses badly to compiled code.  For per-PAIR hot paths use the
+    mapInArrow numpy fold (:func:`_pair_cosine_arrow`) instead — this
+    unrolled form is only for per-ROW projections where the eval count is
+    O(N)."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i].cast("double") * b[i].cast("double")
+    return out
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity with a zero-norm guard: a zero vector has no
     direction, so its similarity to anything is 0.0 — without the guard,
     Spark 4 ANSI mode aborts the whole job with DIVIDE_BY_ZERO, and with
     ANSI off the NaN result sorts ABOVE every real score, ranking the zero
     vector as everyone's top neighbor."""
-    den = norm(a) * norm(b)
-    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b) / den)
+    den = norm(a, dim) * norm(b, dim)
+    return F.when(den == 0, F.lit(0.0)).otherwise(dot(a, b, dim) / den)
 
 
 def cosine_topk(
@@ -53,6 +79,7 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -65,12 +92,17 @@ def cosine_topk(
     PAIR costs |Q| * N traversals where N + |Q| suffice.  The score keeps the
     exact expression shape dot/(qn*cn) — bit-identical to the inline form
     (and to the oracle's list_cosine_similarity)."""
+    # dim known -> keep the RAW (float) array: the unrolled expressions cast
+    # per ELEMENT (exact float->double widening, so bit-identical to the
+    # _f64 array), which skips the interpreted transform() Project and
+    # halves the bytes the join carries (guide: narrower types)
+    vexpr = F.col(vec_col) if dim is not None else _f64(F.col(vec_col))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
-    ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
+        F.col(id_col).alias("query_id"), vexpr.alias("qv")
+    ).select("query_id", "qv", norm(F.col("qv"), dim).alias("qn"))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
-    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
+        F.col(id_col).alias("neighbor_id"), vexpr.alias("cv")
+    ).select("neighbor_id", "cv", norm(F.col("cv"), dim).alias("cn"))
     den = F.col("qn") * F.col("cn")
     scored = (
         c.join(F.broadcast(q))
@@ -80,7 +112,7 @@ def cosine_topk(
             "neighbor_id",
             F.round(
                 F.when(den == 0, F.lit(0.0)).otherwise(
-                    dot(F.col("qv"), F.col("cv")) / den
+                    dot(F.col("qv"), F.col("cv"), dim) / den
                 ),
                 6,
             ).alias("score"),
@@ -96,7 +128,9 @@ def cosine_topk(
     )
 
 
-def _pseudo_plane_sign(vec: Column, plane_idx: int) -> Column:
+def _pseudo_plane_sign(
+    vec: Column, plane_idx: int, dim: int | None = None
+) -> Column:
     """Sign of <vec, r_p> where r_p is a deterministic pseudo-random
     hyperplane via the FULL shader-noise hash:
     ``r_p[d] = fract(sin(p*12.9898 + d*78.233) * 43758.5453) * 2 - 1``.
@@ -109,36 +143,56 @@ def _pseudo_plane_sign(vec: Column, plane_idx: int) -> Column:
     1024), inflating LSH candidate volume ~50x at scale.  Multiplying by a
     large constant and taking the fractional part decorrelates dimensions
     (the classic GLSL hash) while staying exactly reproducible in any
-    engine: sin/floor are IEEE-deterministic double ops."""
-    proj = F.aggregate(
-        F.zip_with(
-            vec,
-            F.sequence(F.lit(0), F.size(vec) - 1),
-            lambda x, d: x
-            * (
-                (
-                    lambda v: (v - F.floor(v)) * 2 - 1
-                )(
-                    F.sin(
-                        F.lit(float(plane_idx)) * 12.9898
-                        + d.cast("double") * 78.233
+    engine: sin/floor are IEEE-deterministic double ops.
+
+    ``dim=k`` unrolls the projection (same bit-exact left-fold contract as
+    :func:`dot`); the per-dimension plane coefficient then depends only on
+    LITERALS, so Catalyst constant-folds it at plan time — the whole sign
+    becomes one codegen multiply-add chain with baked-in coefficients,
+    where the HOF form re-evaluates sin/floor per element interpreted."""
+    if dim is None:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x
+                * (
+                    (
+                        lambda v: (v - F.floor(v)) * 2 - 1
+                    )(
+                        F.sin(
+                            F.lit(float(plane_idx)) * 12.9898
+                            + d.cast("double") * 78.233
+                        )
+                        * 43758.5453
                     )
-                    * 43758.5453
-                )
+                ),
             ),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (proj >= 0).cast("int")
+    proj = F.lit(0.0)
+    for d in range(dim):
+        s = (
+            F.sin(
+                F.lit(float(plane_idx)) * 12.9898
+                + F.lit(d).cast("double") * 78.233
+            )
+            * 43758.5453
+        )
+        proj = proj + vec[d].cast("double") * ((s - F.floor(s)) * 2 - 1)
     return (proj >= 0).cast("int")
 
 
-def lsh_bucket(vec: Column, n_planes: int = 8, table: int = 0) -> Column:
+def lsh_bucket(
+    vec: Column, n_planes: int = 8, table: int = 0, dim: int | None = None
+) -> Column:
     """Random-hyperplane LSH bucket id: n_planes sign bits packed to int.
     ``table`` selects an independent plane family (multi-table LSH)."""
     out = F.lit(0)
     for p in range(n_planes):
-        out = out + _pseudo_plane_sign(vec, table * 1000 + p) * F.lit(1 << p)
+        out = out + _pseudo_plane_sign(vec, table * 1000 + p, dim) * F.lit(1 << p)
     return out
 
 
@@ -150,6 +204,7 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is inverted-list-partitioned
     by nearest centroid; each query scores only the lists of its ``n_probe``
@@ -166,8 +221,9 @@ def cosine_topk_ivf(
     folded to ONE row via ``collect_list`` and broadcast-crossJoined, so
     centroid assignment is a single narrow pass over the corpus (no
     ``collect()``, no per-row literal expansion, no unpartitioned Window)."""
+    vexpr = F.col(vec_col) if dim is not None else _f64(F.col(vec_col))
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
+        F.col(id_col).alias("neighbor_id"), vexpr.alias("cv")
     )
     centroids = (
         c.select(
@@ -190,7 +246,7 @@ def cosine_topk_ivf(
         scored = F.transform(
             F.col("cents"),
             lambda ct: F.struct(
-                (-F.round(cosine(vec, ct.getField("centroid")), 6)).alias("negs"),
+                (-F.round(cosine(vec, ct.getField("centroid"), dim), 6)).alias("negs"),
                 ct.getField("cid").alias("cid"),
             ),
         )
@@ -204,7 +260,7 @@ def cosine_topk_ivf(
     )
     q = (
         queries.select(
-            F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")
+            F.col(id_col).alias("query_id"), vexpr.alias("qv")
         )
         .crossJoin(F.broadcast(cent_row))
         .withColumn("probe", nearest_lists(F.col("qv"), n_probe))
@@ -217,7 +273,7 @@ def cosine_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -239,6 +295,7 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket: int = 32,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing an LSH bucket with the
     query (in ANY of ``n_tables`` independent plane families) are scored.
@@ -254,10 +311,127 @@ def cosine_topk_lsh(
             embeddings.select(id_col).count(), target_bucket=target_bucket
         )
 
-    def with_buckets(df: DataFrame, idc: str, vc: str) -> DataFrame:
-        return df.select(
-            F.col(idc),
-            F.col(vc),
+    vexpr = F.col(vec_col) if dim is not None else _f64(F.col(vec_col))
+    npart = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    # query side is small (broadcast) — no spread; corpus side is the probe
+    # and gets the cluster-derived spread (see _with_tb)
+    q = _with_tb(
+        queries.select(F.col(id_col).alias("query_id"), vexpr.alias("qv")),
+        "qv",
+        n_planes,
+        n_tables,
+        dim,
+    )
+    c = _with_tb(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), vexpr.alias("cv")),
+        "cv",
+        n_planes,
+        n_tables,
+        dim,
+        spread_to=npart,
+    )
+    # score BEFORE deduping so the dedup shuffle carries scalars, not the
+    # two d-dim vectors (same fat-shuffle fix as knn_graph — see ledger)
+    scored = (
+        c.join(F.broadcast(q), on=["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv"), dim), 6).alias("score"),
+        )
+        .repartition(F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def _pair_cosine_arrow(dim: int):
+    """mapInArrow scorer for candidate pairs ``(src_id, nbr_id, av, bv)``
+    -> ``(src_id, nbr_id, score)`` where score is the UNROUNDED cosine.
+
+    BIT-IDENTICAL to the Column form ``when(den==0, 0.0)
+    .otherwise(dot(av,bv)/ (norm(av)*norm(bv)))``: elements widen
+    float->double exactly, the three folds (dot, |a|^2, |b|^2) accumulate
+    left-to-right from 0.0 exactly like the JVM fold, and sqrt/multiply/
+    divide are single IEEE-754 double ops in both runtimes.  numpy
+    evaluates each fold step as one elementwise vector op across the
+    batch, so the per-pair cost is ~ns instead of the interpreted-
+    expression ~60us (see knn_graph)."""
+
+    def score_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            n_rows = batch.num_rows
+            av = batch.column("av")
+            bv = batch.column("bv")
+            A = np.asarray(av.flatten(), dtype=np.float64).reshape(n_rows, dim)
+            B = np.asarray(bv.flatten(), dtype=np.float64).reshape(n_rows, dim)
+            acc = np.zeros(n_rows)
+            na = np.zeros(n_rows)
+            nb = np.zeros(n_rows)
+            for i in range(dim):
+                acc = acc + A[:, i] * B[:, i]
+                na = na + A[:, i] * A[:, i]
+                nb = nb + B[:, i] * B[:, i]
+            den = np.sqrt(na) * np.sqrt(nb)
+            score = np.zeros(n_rows)
+            np.divide(acc, den, out=score, where=den != 0.0)
+            yield pa.record_batch(
+                [batch.column("src_id"), batch.column("nbr_id"), pa.array(score)],
+                names=["src_id", "nbr_id", "score"],
+            )
+
+    return score_batches
+
+
+def _with_tb(
+    df: DataFrame,
+    vc: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int | None,
+    spread_to: int | None = None,
+) -> DataFrame:
+    """Append exploded ``(table, bucket)`` LSH rows to every row of ``df``.
+
+    ``spread_to``: round-robin repartition width applied FIRST — the corpus
+    is usually a handful of scan partitions, and everything downstream
+    (bucket computation, and with a broadcast join the entire pair
+    generation + scoring) runs at this partitioning; measured 2 tasks doing
+    13.4M pair-scores while 30 cores idled.  AQE cannot fix it (the join
+    INPUT is tiny; the ~300x blowup happens inside the join).
+
+    ``dim`` path — whole-stage-codegen discipline (this shape is the result
+    of measured failures, do not "simplify" it):
+
+    * per-plane sign bits are separate columns of a Project placed DIRECTLY
+      above the repartition Exchange: with row-based input codegen can
+      split each 64-term projection into its own small JIT-able method.
+      Inlining the unrolled buckets into the Generate (or projecting them
+      above an operator that feeds codegen variables) produces one >64KB
+      method, janino compilation FAILS, and the whole stage silently falls
+      back to interpreted eval — ~56us per pair-score vs ~0.2us compiled.
+    * the Generate then only packs the int sign bits (bucket id unchanged:
+      same signs, same power-of-two weights, integer math).
+
+    ``dim=None`` falls back to the HOF bucket expression inside the
+    Generate (interpreted per element, with per-element sin; fine for
+    small/ragged corpora)."""
+    cols = df.columns
+    src = df.repartition(spread_to) if spread_to else df
+    if dim is None:
+        return src.select(
+            *cols,
             F.explode(
                 F.array(
                     *[
@@ -269,40 +443,33 @@ def cosine_topk_lsh(
                     ]
                 )
             ).alias("tb"),
-        ).select(idc, vc, "tb.table", "tb.bucket")
+        ).select(*cols, "tb.table", "tb.bucket")
+    signs = src.select(
+        *cols,
+        *[
+            _pseudo_plane_sign(F.col(vc), t * 1000 + p, dim).alias(f"__s{t}_{p}")
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+    )
 
-    q = with_buckets(
-        queries.select(F.col(id_col).alias("query_id"), _f64(F.col(vec_col)).alias("qv")),
-        "query_id",
-        "qv",
-    )
-    c = with_buckets(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), _f64(F.col(vec_col)).alias("cv")
-        ),
-        "neighbor_id",
-        "cv",
-    )
-    # score BEFORE deduping so the dedup shuffle carries scalars, not the
-    # two d-dim vectors (same fat-shuffle fix as knn_graph — see ledger)
-    scored = (
-        c.join(F.broadcast(q), on=["table", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("score"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "score", "rank")
-    )
+    def pack(t: int) -> Column:
+        out = F.lit(0)
+        for p in range(n_planes):
+            out = out + F.col(f"__s{t}_{p}") * F.lit(1 << p)
+        return out
+
+    return signs.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("table"), pack(t).alias("bucket"))
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select(*cols, "tb.table", "tb.bucket")
 
 
 def auto_n_planes(
@@ -334,6 +501,7 @@ def knn_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     target_bucket: int = 32,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN GRAPH: every corpus vector gets its top-k
     bucket-sharing neighbors — the backbone of embedding-based curation
@@ -363,44 +531,94 @@ def knn_graph(
         n_planes = auto_n_planes(
             embeddings.select(id_col).count(), target_bucket=target_bucket
         )
-    base = embeddings.select(
-        F.col(id_col).alias("id"), _f64(F.col(vec_col)).alias("v")
-    ).withColumn("n", norm(F.col("v")))
-
-    def with_buckets(df: DataFrame, idc: str, vc: str, nc: str) -> DataFrame:
-        return df.select(
-            F.col("id").alias(idc),
-            F.col("v").alias(vc),
-            F.col("n").alias(nc),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            lsh_bucket(F.col("v"), n_planes, t).alias("bucket"),
-                        )
-                        for t in range(n_tables)
-                    ]
-                )
-            ).alias("tb"),
-        ).select(idc, vc, nc, "tb.table", "tb.bucket")
-
-    a = with_buckets(base, "src_id", "av", "an")
-    b = with_buckets(base, "nbr_id", "bv", "bn")
-    den = F.col("an") * F.col("bn")
-    score = F.when(den == 0, F.lit(0.0)).otherwise(
-        dot(F.col("av"), F.col("bv")) / den
-    )
+    npart = embeddings.sparkSession.sparkContext.defaultParallelism * 2
+    if dim is None:
+        vexpr = _f64(F.col(vec_col))
+        base = embeddings.select(
+            F.col(id_col).alias("id"), vexpr.alias("v")
+        ).withColumn("n", norm(F.col("v"), dim))
+        banded = _with_tb(base, "v", n_planes, n_tables, dim, spread_to=npart)
+        a = banded.select(
+            F.col("id").alias("src_id"),
+            F.col("v").alias("av"),
+            F.col("n").alias("an"),
+            "table",
+            "bucket",
+        )
+        b = banded.select(
+            F.col("id").alias("nbr_id"),
+            F.col("v").alias("bv"),
+            F.col("n").alias("bn"),
+            "table",
+            "bucket",
+        )
+        den = F.col("an") * F.col("bn")
+        score = F.when(den == 0, F.lit(0.0)).otherwise(
+            dot(F.col("av"), F.col("bv"), dim) / den
+        )
+    else:
+        # dim path — the pair-scoring expression CANNOT live in the join's
+        # whole-stage-codegen (measured dead ends, see OPTIMIZATION_r06.md):
+        # an unrolled 64-term dot over two array columns compiles into one
+        # >8KB-bytecode method that HotSpot's DontCompileHugeMethods leaves
+        # in the BYTECODE INTERPRETER (~60us/pair vs ~0.2us compiled — a
+        # -XX:-DontCompileHugeMethods A/B proved it), and flattening the
+        # vectors into 64 scalar columns stalls the OPTIMIZER for minutes
+        # in QueryPlanConstraints.  So the join stays a pass-through of
+        # (ids, vectors) — small codegen, compiles — and the per-pair math
+        # runs as ONE vectorized numpy pass in mapInArrow (the engine's
+        # standard payload discipline), with identical IEEE semantics:
+        # float->double widening is exact, the fold accumulates in the
+        # same left-to-right order, division/sqrt are IEEE-exact, and the
+        # engine-facing round(.., 6) stays in Spark.
+        base = embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        )
+        banded = _with_tb(base, "v", n_planes, n_tables, None, spread_to=npart)
+        a = banded.select(
+            F.col("id").alias("src_id"), F.col("v").alias("av"), "table", "bucket"
+        )
+        b = banded.select(
+            F.col("id").alias("nbr_id"), F.col("v").alias("bv"), "table", "bucket"
+        )
+        pairs = (
+            a.join(b, on=["table", "bucket"])
+            .filter(F.col("src_id") != F.col("nbr_id"))
+            .select("src_id", "nbr_id", "av", "bv")
+        )
+        id_t = dict(zip(pairs.schema.names, pairs.schema.fields))
+        out_schema = (
+            f"src_id {id_t['src_id'].dataType.simpleString()}, "
+            f"nbr_id {id_t['nbr_id'].dataType.simpleString()}, score double"
+        )
+        raw = pairs.mapInArrow(_pair_cosine_arrow(dim), out_schema)
+        scored = (
+            raw.select("src_id", "nbr_id", F.round("score", 6).alias("score"))
+            .repartition(F.col("src_id"))
+            .dropDuplicates(["src_id", "nbr_id"])
+        )
+        w = Window.partitionBy("src_id").orderBy(
+            F.col("score").desc(), F.col("nbr_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("src_id", "nbr_id", "score", "rank")
+        )
     # score BEFORE deduping: the dedup is a shuffle, and scoring first means
     # it carries (src, nbr, score) scalars instead of two d-dim vectors —
     # the fat-shuffle variant OOMs a default heap at N=20k, d=32 (measured;
     # BENCH/BASELINE.md ledger).  A pair duplicated across tables computes
     # its (deterministic) score up to n_tables times — compute is cheaper
-    # than shuffling arrays.
+    # than shuffling arrays.  The explicit repartition on src_id alone
+    # lets BOTH the pair-dedup aggregate (keys src,nbr — src-partitioning
+    # clusters them) and the top-k window reuse ONE exchange instead of
+    # shuffling the scored pairs twice.
     scored = (
         a.join(b, on=["table", "bucket"])
         .filter(F.col("src_id") != F.col("nbr_id"))
         .select("src_id", "nbr_id", F.round(score, 6).alias("score"))
+        .repartition(F.col("src_id"))
         .dropDuplicates(["src_id", "nbr_id"])
     )
     w = Window.partitionBy("src_id").orderBy(
