@@ -1352,8 +1352,12 @@ def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must not execute twice for bookkeeping."""
     from valor_spark.operators import sampling as SP
 
-    docs = _t(spark, sf_dir, "documents")
-    feats = TX.doc_repetition(docs)
+    # _docs_wide: the quality chain and the winnow self-join are the
+    # CPU-heavy stages and otherwise run in the 2 scan partitions; the
+    # 6-int feature frame is lazily checkpointed so the quality filter
+    # reads materialized ints instead of re-running the tokenize chain
+    docs = _docs_wide(spark, sf_dir)
+    feats = TX.doc_repetition(docs).localCheckpoint(eager=False)
     res = validate(feats, TX.doc_quality_rules(), key_cols=["doc_id"])
     # id-only materializations: quality survivors, then winnow drop set
     valid_ids = res.valid().select("doc_id").localCheckpoint()
@@ -1686,7 +1690,7 @@ def q_bigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative bigram-rarity quality stats (rare/hapax-ngram
     filtering signal) — all-integer outputs; ratios are a JVM projection
     (operators/text.py::bigram_rarity)."""
-    return TX.bigram_rarity(_t(spark, sf_dir, "documents"))
+    return TX.bigram_rarity(_docs_wide(spark, sf_dir))
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1699,7 +1703,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     evalset = docs.filter(F.col("doc_id").between(100, 109)).select(
         "doc_id", F.expr("substring(text, instr(text, ' ') + 1)").alias("text")
     )
-    return TX.ngram_contamination(docs, evalset, n=5, min_shared=2)
+    # corpus side through _docs_wide: the shingle+md5 derivation is the
+    # CPU-heavy side and otherwise runs in the 2 scan partitions
+    return TX.ngram_contamination(
+        _docs_wide(spark, sf_dir), evalset, n=5, min_shared=2
+    )
 
 
 def _ensure_stream_docs(sf_dir: str) -> str:
@@ -1779,14 +1787,14 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is exact under any partitioning; term filter sits UNDER the
     explode so only query-term hits shuffle; top-k is
     TakeOrderedAndProject."""
-    return TX.tfidf_topk(_t(spark, sf_dir, "documents"), TFIDF_TERMS, k=10)
+    return TX.tfidf_topk(_docs_wide(spark, sf_dir), TFIDF_TERMS, k=10)
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition stats (operators/text.py::doc_repetition;
     Gopher-style repetition filters as all-integer outputs): token/bigram
     distinct counts + summed token chars in ONE shuffle-free Project."""
-    return TX.doc_repetition(_t(spark, sf_dir, "documents"))
+    return TX.doc_repetition(_docs_wide(spark, sf_dir))
 
 
 def q_val_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1795,7 +1803,12 @@ def q_val_docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     too-repetitive / word-length-outlier docs, all integer cross-product
     decisions, violations through the same validate() engine as every
     other rule set."""
-    feats = TX.doc_repetition(_t(spark, sf_dir, "documents"))
+    # lazy-checkpoint the 6-int feature frame: the verdict filter and the
+    # violation explode otherwise each re-evaluate the interpreted
+    # tokenization chain (measured 5.6s -> 0.7s at sf1.0)
+    feats = TX.doc_repetition(_docs_wide(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     res = validate(feats, TX.doc_quality_rules(), key_cols=["doc_id"])
     return res.violations().select("doc_id", "rule", "error")
 
@@ -1806,7 +1819,7 @@ def q_winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per 4-window, dedup — the locality-preserving rolling-hash fingerprint.
     fp_digest pins the EXACT selected-hash set per doc; token and k-gram
     hash arrays are materialized in lower Projects (HOF scale contract)."""
-    return TX.winnow_profile(_t(spark, sf_dir, "documents"))
+    return TX.winnow_profile(_docs_wide(spark, sf_dir))
 
 
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1814,7 +1827,7 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py::winnow_pairs): winnowing IS the sampling step, so
     the self-join shuffle carries ~1/w of the k-gram stream; a frequency
     cap (<= 50 docs per fingerprint) bounds boilerplate-hash fan-out."""
-    return TX.winnow_pairs(_t(spark, sf_dir, "documents"))
+    return TX.winnow_pairs(_docs_wide(spark, sf_dir))
 
 
 def q_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -549,8 +549,22 @@ def winnow_pairs(
         .select("doc", kgram_hashes_t(F.col("__toks"), k).alias("__kh"))
         .select("doc", F.explode(winnow_t(F.col("__kh"), w)).alias("fp"))
     )
-    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs"))
-    rare = fps.join(freq.filter(F.col("n_docs") <= max_fp_freq), on="fp")
+    # frequency cap as a WINDOW count over the fp partitioning instead of a
+    # groupBy + join back: the join form evaluates the whole tokenize ->
+    # kgram-md5 -> winnow derivation TWICE (once under the aggregate's
+    # partial side, once under the join's exchange); the window form derives
+    # fps once, exchanges once on fp, and the self-join below reuses that
+    # same exchange on both sides (sorts only).  Row set identical: count
+    # rows per fp == docs per fp (the selected set is per-doc distinct).
+    from pyspark.sql.window import Window
+
+    rare = (
+        fps.withColumn(
+            "__n_docs", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("__n_docs") <= max_fp_freq)
+        .drop("__n_docs")
+    )
     a = rare.select(F.col("fp"), F.col("doc").alias("doc_a"))
     b = rare.select(F.col("fp"), F.col("doc").alias("doc_b"))
     return (

@@ -217,17 +217,32 @@ class ValidationResult:
     def invalid(self) -> DataFrame:
         return self.annotated.filter(self._wrong_any).select(*self.input_cols)
 
-    def violations(self) -> DataFrame:
+    def violations(self, barrier: bool = True) -> DataFrame:
         """Exploded violation rows: ``keys... , shard?, rule, path, error``.
         One pass: per-row concat of per-rule violation arrays, then a single
-        explode — no per-rule unions/scans."""
+        explode — no per-rule unions/scans.
+
+        ``barrier`` (default on): materialize the slim
+        ``(keys, violation-array)`` frame — VIOLATING rows only — through a
+        lazy ``localCheckpoint`` before the explode.  Without it the
+        optimizer inlines the whole verdict/feature expression chain into
+        the Generate's generator, which evaluates interpreted per row
+        (measured 4.7s -> 0.7s on the 50k-doc quality gate at sf1.0).  The
+        materialized frame is proportional to the violation count, the same
+        order as any violations sink; pass ``barrier=False`` to keep the
+        plan fully lazy (cluster caveat: localCheckpoint data does not
+        survive executor loss — same trade the CC operators document)."""
         keep = list(self.key_cols)
         if self.shard_col and self.shard_col not in keep:
             keep.append(self.shard_col)
         arr = F.col("__violations")
+        slim = self.annotated.filter(self._wrong_any).select(
+            *keep, arr.alias("__v_arr")
+        )
+        if barrier:
+            slim = slim.localCheckpoint(eager=False)
         return (
-            self.annotated.filter(self._wrong_any)
-            .select(*keep, F.explode(arr).alias("v"))
+            slim.select(*keep, F.explode(F.col("__v_arr")).alias("v"))
             .select(
                 *keep,
                 F.col("v.rule").alias("rule"),
