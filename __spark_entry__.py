@@ -566,8 +566,8 @@ def q_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs_wide(spark, sf_dir)
-    return d.select("doc_id", DD.simhash(F.col("text"), bits=32).alias("simhash"))
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_table(d, bits=32)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

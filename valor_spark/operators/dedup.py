@@ -102,6 +102,158 @@ def token_hash(tok: Column) -> Column:
     )
 
 
+def _token_hashes_np(tokens_list):
+    """Vectorized :func:`token_hash` over a flat Python list of tokens —
+    EXACT integer replica of the Column fold ``(acc*31 + ascii(ch)) % MOD``
+    (numpy int64; products stay < 2^35, far from overflow).
+
+    Character semantics match Spark exactly: ``F.split(tok, '')`` yields
+    UTF-16 code units (Java chars) and ``F.ascii`` returns the unit's
+    numeric value, so the fast path folds UTF-8 BYTES only when the batch
+    is pure ASCII (where bytes == units) and anything else takes the
+    per-token UTF-16-unit fold."""
+    import numpy as np
+
+    n = len(tokens_list)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    joined = "".join(tokens_list)
+    if not joined.isascii():
+        out = np.zeros(n, dtype=np.int64)
+        for i, t in enumerate(tokens_list):
+            acc = 0
+            bb = t.encode("utf-16-be")
+            for j in range(0, len(bb), 2):
+                acc = (acc * 31 + int.from_bytes(bb[j:j + 2], "big")) % MOD
+            out[i] = acc
+        return out
+    data = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).astype(np.int64)
+    lens = np.fromiter((len(t) for t in tokens_list), dtype=np.int64, count=n)
+    lmax = int(lens.max()) if n else 0
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(lmax):
+        m = lens > j
+        idx = starts[m] + j
+        acc[m] = (acc[m] * 31 + data[idx]) % MOD
+    return acc
+
+
+def _list_column_tokens(col):
+    """(flat token list, per-row offsets) from an Arrow list<string> column."""
+    import numpy as np
+
+    lens = np.asarray(
+        col.value_lengths().fill_null(0)  # null rows -> 0 tokens
+        if col.null_count
+        else col.value_lengths()
+    ).astype(np.int64)
+    flat = col.flatten().to_pylist()
+    starts = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    return flat, lens, starts
+
+
+def _simhash_arrow(bits: int, id_name: str):
+    """mapInArrow kernel over ``(id, __toks)`` -> ``(id, simhash)``; exact
+    integer replica of :func:`simhash` (bit one-counts + majority vote —
+    both order-free over the distinct-token set)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        shifts = np.arange(bits, dtype=np.int64)
+        for batch in batches:
+            toks_col = batch.column("__toks")
+            flat, lens, starts = _list_column_tokens(toks_col)
+            hs = _token_hashes_np(flat)
+            n_rows = batch.num_rows
+            if len(hs):
+                bits_all = (hs[:, None] >> shifts[None, :]) & 1
+                # clip: reduceat raises on a start == len (trailing empty
+                # segment) and copies the next row for any empty segment —
+                # both fixed by clipping then zeroing empty segments
+                seg = np.minimum(starts[:-1], len(hs) - 1)
+                ones = np.add.reduceat(bits_all, seg, axis=0)
+                ones[lens == 0] = 0
+            else:
+                ones = np.zeros((n_rows, bits), dtype=np.int64)
+            # majority vote incl. the 0 >= 0 empty-set case (all bits set),
+            # matching the Column fold exactly; NULL token arrays stay NULL
+            maj = (ones * 2) >= lens[:, None]
+            sh = (maj.astype(np.int64) << shifts[None, :]).sum(axis=1)
+            if toks_col.null_count:
+                mask = np.asarray(toks_col.is_null())
+                out = pa.array(sh, type=pa.int64(), mask=mask)
+            else:
+                out = pa.array(sh, type=pa.int64())
+            yield pa.record_batch(
+                [batch.column(id_name), out], names=[id_name, "sh"]
+            )
+
+    return fn
+
+
+def _minhash_bands_arrow(k: int, bands: int, id_name: str):
+    """mapInArrow kernel over ``(id, toks)`` -> exploded ``(id, band,
+    bucket)``; exact integer replica of ``minhash_signature_from_tokens`` +
+    the per-band polynomial combine in :func:`minhash_lsh_pairs`.  Rows
+    with empty token sets emit nothing (callers filter them anyway)."""
+    coeffs = minhash_coeffs(k)
+    rows_per_band = k // bands
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        a = np.array([c[0] for c in coeffs], dtype=np.int64)
+        b = np.array([c[1] for c in coeffs], dtype=np.int64)
+        for batch in batches:
+            flat, lens, starts = _list_column_tokens(batch.column("toks"))
+            hs = _token_hashes_np(flat)
+            nonempty = lens > 0
+            n_docs = int(nonempty.sum())
+            ids = batch.column(id_name).take(
+                pa.array(np.nonzero(nonempty)[0], type=pa.int64())
+            )
+            if len(hs) == 0 or n_docs == 0:
+                yield pa.record_batch(
+                    [
+                        batch.column(id_name).slice(0, 0),
+                        pa.array([], type=pa.int32()),
+                        pa.array([], type=pa.int64()),
+                    ],
+                    names=[id_name, "band", "bucket"],
+                )
+                continue
+            vals = (hs[:, None] * a[None, :] + b[None, :]) % MOD
+            seg_starts = starts[:-1][nonempty]
+            sig = np.minimum.reduceat(vals, seg_starts, axis=0)
+            # reduceat merges segments when consecutive starts are equal
+            # (impossible here: every kept segment is non-empty and starts
+            # strictly increase)
+            buckets = np.zeros((n_docs, bands), dtype=np.int64)
+            for bi in range(bands):
+                acc = np.zeros(n_docs, dtype=np.int64)
+                for j in range(rows_per_band):
+                    acc = (acc * 1000003 + sig[:, bi * rows_per_band + j]) % MOD
+                buckets[:, bi] = acc
+            yield pa.record_batch(
+                [
+                    pa.concat_arrays([ids] * bands) if bands > 1 else ids,
+                    pa.array(
+                        np.repeat(np.arange(bands, dtype=np.int32), n_docs)
+                    ),
+                    pa.array(buckets.T.reshape(-1)),
+                ],
+                names=[id_name, "band", "bucket"],
+            )
+
+    return fn
+
+
 def minhash_coeffs(k: int) -> list[tuple[int, int]]:
     """Deterministic affine-family coefficients.  The multipliers are LARGE
     (Knuth multiplicative-hash constants mod MOD) so ``a*h + b`` wraps the
@@ -150,45 +302,31 @@ def minhash_lsh_pairs(
             "otherwise the trailing signature rows are computed but never "
             "hashed into any band, silently lowering recall"
         )
-    rows_per_band = k // bands
-    # tokenize ONCE per row in a lower Project; the k-hash signature reads
-    # the materialized array (CollapseProject keeps a multiply-referenced
-    # non-trivial alias — same treatment as text_profile)
+    # tokenize ONCE per row in a lower Project (JVM); the k-hash signature
+    # and band buckets run as ONE vectorized mapInArrow integer pass —
+    # exact replica of the Column folds (round 6: the interpreted per-char
+    # token_hash + 16 affine transforms dominated wall time), emitting the
+    # exploded (doc, band, bucket) rows directly.  The round-robin spread
+    # first matters because the corpus is typically a couple of scan
+    # partitions.
     base = df.select(
         F.col(id_col).alias("doc"),
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     ).filter(F.size("toks") > 0)
-    sig = base.select(
-        "doc", "toks", minhash_signature_from_tokens(F.col("toks"), k).alias("sig")
-    )
-    # band bucket = polynomial combine of the band's signature rows — NOT
-    # F.hash, so an engine-independent oracle can reproduce the buckets
-    def band_bucket(b: int) -> Column:
-        return F.aggregate(
-            F.slice("sig", b * rows_per_band + 1, rows_per_band),
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * 1000003 + h) % MOD,
-        )
-
-    # The banded explode and candidate self-join carry (doc, band, bucket)
-    # ONLY — shipping the token arrays through the xbands-duplicated explode
+    idt = df.schema[id_col].dataType.simpleString()
+    npart = df.sparkSession.sparkContext.defaultParallelism * 2
+    # The banded rows and candidate self-join carry (doc, band, bucket)
+    # ONLY — shipping the token arrays through the xbands-duplicated rows
     # and the shuffle multiplies the exchanged bytes by the band count.  The
     # token sets are joined back from the compact doc->toks table just for
     # the candidate pairs that survive dedup.  Measured at a 10x-gate corpus
     # (10k docs, 11.4M verified pairs): 5.91 GB -> 0.14 GB shuffled (42x),
     # wall 235 -> 64 s; the toks-through-shuffle shape OOMs a default-heap
     # driver where this one completes (BENCH/BASELINE.md ledger).
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_bucket(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+    banded = base.repartition(npart).mapInArrow(
+        _minhash_bands_arrow(k, bands, "doc"),
+        f"doc {idt}, band int, bucket long",
+    )
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
@@ -196,7 +334,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
         .dropDuplicates(["doc1", "doc2"])
     )
-    doc_toks = sig.select("doc", "toks")
+    doc_toks = base.select("doc", "toks")
     verified = cand.join(
         doc_toks.select(F.col("doc").alias("doc1"), F.col("toks").alias("t1")),
         on="doc1",
@@ -294,6 +432,31 @@ def simhash(text: Column, bits: int = 32) -> Column:
     )
 
 
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """``(id, simhash)`` for every row — the :func:`simhash` fingerprint
+    computed as ONE vectorized mapInArrow integer pass (exact replica of
+    the Column fold; round 6 measured the interpreted HOF chain at ~134
+    core-seconds for 50k docs vs ~2 for this kernel).  Tokenization stays
+    a JVM expression; only the integer hashing crosses to numpy.  The
+    round-robin spread first matters because the corpus is typically a
+    couple of scan partitions."""
+    idt = df.schema[id_col].dataType.simpleString()
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
+    )
+    npart = df.sparkSession.sparkContext.defaultParallelism * 2
+    out = base.repartition(npart).mapInArrow(
+        _simhash_arrow(bits, id_col), f"{id_col} {idt}, sh long"
+    )
+    return out.select(F.col(id_col), F.col("sh").alias("simhash"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -307,7 +470,9 @@ def simhash_pairs(
     Candidate generation: split the fingerprint into ``bands`` bit-blocks;
     by pigeonhole any pair within distance < bands shares a block."""
     block = bits // bands
-    sh = df.select(F.col(id_col).alias("doc"), simhash(F.col(text_col), bits).alias("sh"))
+    sh = simhash_table(df, text_col=text_col, id_col=id_col, bits=bits).select(
+        F.col(id_col).alias("doc"), F.col("simhash").alias("sh")
+    )
     banded = sh.select(
         "doc",
         "sh",
