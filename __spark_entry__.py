@@ -209,7 +209,12 @@ def _clips_rules() -> dict:
 # ---------------------------------------------------------------------------
 
 def q_val_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = validate(_t(spark, sf_dir, "orders"), _orders_rules(), key_cols=["o_orderkey"])
+    # spread the 7-partition scan before rule evaluation (same move as
+    # _docs_wide; violations are row-deterministic): 1.5 -> 0.5s at sf1.0
+    o = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    res = validate(o, _orders_rules(), key_cols=["o_orderkey"])
     return res.violations().select("o_orderkey", "rule", "error")
 
 
