@@ -546,31 +546,48 @@ def connected_components(
         .distinct()
     )
     edges.cache()
+    # Seed = identity init FUSED with the first propagation round: with
+    # label(v)=v, round 1's min over {self} u {neighbor labels} is just the
+    # min over {v} u {neighbors}, so one aggregate replaces the init
+    # checkpoint plus a whole round (2 driver jobs) with an identical label
+    # trajectory from round 1 on.
     labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.select(F.col("a").alias("node"), F.col("b").alias("label"))
+        .unionByName(
+            edges.select(
+                F.col("a").alias("node"), F.col("a").alias("label")
+            )
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint(eager=True)
     )
+    label_t = labels.schema["label"].dataType
     try:
         for _ in range(max_iter):
-            nbr = edges.join(
-                labels.withColumnRenamed("node", "b"), on="b"
-            ).select(F.col("a").alias("node"), "label")
+            # per-node changed flag computed INSIDE the same aggregate (the
+            # labels-side rows carry their old label, neighbor rows carry
+            # NULL; min ignores nulls) so the convergence probe is a filter
+            # over the freshly checkpointed frame instead of a join of two
+            # label tables — one cheap cached scan per round.
+            cur = labels.select(
+                "node", "label", F.col("label").alias("__old")
+            )
+            nbr = (
+                edges.join(labels.withColumnRenamed("node", "b"), on="b")
+                .select(F.col("a").alias("node"), "label")
+                .withColumn("__old", F.lit(None).cast(label_t))
+            )
             new_labels = (
-                labels.unionByName(nbr)
+                cur.unionByName(nbr)
                 .groupBy("node")
-                .agg(F.min("label").alias("label"))
+                .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+                .withColumn("__chg", F.col("label") != F.col("__old"))
+                .drop("__old")
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
+            changed = new_labels.filter(F.col("__chg")).limit(1).count()
+            labels = new_labels.drop("__chg")
             if changed == 0:
                 return labels.select("node", F.col("label").alias("component"))
         raise RuntimeError(

@@ -97,7 +97,11 @@ def validate_stream(
         if batch_df.isEmpty():
             return
         res = validate(batch_df, rules, key_cols=key_cols)
-        on_batch(res.valid(), res.violations(), batch_id)
+        # barrier=False: localCheckpoint inside foreachBatch blows the
+        # stream-execution thread's (smaller) stack at plan time
+        # (StackOverflowError, round 6); micro-batches are small so the
+        # lazy plan is fine here
+        on_batch(res.valid(), res.violations(barrier=False), batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -231,7 +235,8 @@ def profile_stream(
             return
         prof = audio_profile(batch_df, silence_threshold=silence_threshold)
         res = validate(prof, audio_quality_rules(), key_cols=["clip_id"])
-        on_batch(prof, res.violations(), batch_id)
+        # barrier=False: see validate_stream above (foreachBatch stack)
+        on_batch(prof, res.violations(barrier=False), batch_id)
 
     writer = stream_df.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
