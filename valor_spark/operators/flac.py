@@ -101,19 +101,35 @@ class BitReader:
 
     def __init__(self, data: bytes):
         self.raw = data
-        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        arr = np.frombuffer(data, np.uint8)
+        self.bits = np.unpackbits(arr)
         self.ones = np.flatnonzero(self.bits)
         self.pos = 0
+        # sliding 64-bit big-endian window at every byte offset (stdlib
+        # array('Q') -> plain-int indexing): read(n<=57) is O(1) shifts
+        # instead of a per-BIT numpy iteration (round 6 — VERBATIM/LPC-
+        # heavy frames cost O(samples*bps) interpreter steps before)
+        import array as _array
+
+        padded = np.concatenate([arr, np.zeros(8, np.uint8)]).astype(np.uint64)
+        w = np.zeros(len(arr) + 1, dtype=np.uint64)
+        for off in range(8):
+            w |= padded[off : off + len(w)] << np.uint64(8 * (7 - off))
+        self._w = _array.array("Q", w.tobytes())
 
     def read(self, n: int) -> int:
         """Next ``n`` bits as an unsigned int."""
-        if self.pos + n > len(self.bits):
+        pos = self.pos
+        if pos + n > len(self.bits):
             raise FlacError("decode_failed:flac_truncated")
-        v = 0
-        for b in self.bits[self.pos : self.pos + n]:
-            v = (v << 1) | int(b)
-        self.pos += n
-        return v
+        if n == 0:
+            self.pos = pos
+            return 0
+        if n <= 57:
+            self.pos = pos + n
+            return (self._w[pos >> 3] >> (64 - (pos & 7) - n)) & ((1 << n) - 1)
+        hi = self.read(n - 32)
+        return (hi << 32) | self.read(32)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)

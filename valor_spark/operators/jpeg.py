@@ -595,46 +595,134 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
 # ---------------------------------------------------------------------------
 
 class _BitReader:
-    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers."""
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers.
+
+    Round-6 rewrite for throughput (the per-symbol Python loop was the
+    image tier's 100 TB wall): ONE vectorized numpy pre-pass per restart
+    segment un-stuffs the bytes and locates the terminator; reads are then
+    O(1) shifts out of a precomputed sliding 32-bit window, and
+    :func:`_huff_decode` resolves a whole code with ONE 16-bit peek + LUT
+    hit instead of up to 16 read(1) calls.  The ERROR/POSITION semantics
+    of the byte-at-a-time reader are preserved exactly:
+
+    * exhausting a segment whose terminator is RSTn raises ``_RestartHit``
+      (mid-symbol restart = corrupt), any other marker raises
+      ``jpeg_truncated:marker_in_scan``, and end-of-buffer raises
+      ``IndexError`` (the decode_jpeg wrapper maps it to
+      ``jpeg_truncated:unexpected_eof``) — at the same consumption points,
+      because a read only fails when the byte reader's lazy _fill would
+      have hit the same terminator;
+    * ``pos`` reports the byte position after the last (lazily) filled
+      byte: ceil(bits_read/8) unstuffed bytes, mapped back through the
+      stuffing to the original offsets;
+    * ``restart()`` scans the RAW bytes forward for the next RSTn exactly
+      like the original (skipping pad/junk bytes, walking past non-RST
+      markers) and resumes with a fresh segment after it."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
+        self._arr = np.frombuffer(data, dtype=np.uint8)
+        self._load_segment(pos)
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
+    def _load_segment(self, start: int) -> None:
+        """Un-stuff from ``start`` to the next terminator (vectorized)."""
+        arr = self._arr
+        n = len(arr)
+        self._seg_start = start
+        # candidate special points: every 0xFF at/after start
+        ffs = np.nonzero(arr[start:] == 0xFF)[0] + start
+        # walk the 0xFF list to find the first non-stuffing occurrence;
+        # everything before it is segment data with 0xFF00 -> 0xFF
+        stuffed = []  # positions of 0xFF bytes that are stuffed (keep 0xFF, drop 0x00)
+        term_kind = "eof"   # eof | rst | marker
+        term_pos = n
+        for f in ffs:
+            if f + 1 >= n:
+                # lone trailing 0xFF: the byte reader's _fill would index
+                # past the end reading its pair — the 0xFF itself is not
+                # consumable data
+                term_kind, term_pos = "eof", int(f)
+                break
+            nxt = arr[f + 1]
             if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartHit()
+                stuffed.append(f)
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                term_kind, term_pos = "rst", int(f)
             else:
-                raise ValueError("jpeg_truncated:marker_in_scan")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                term_kind, term_pos = "marker", int(f)
+            break
+        data_end = term_pos
+        keep = np.ones(data_end - start, dtype=bool)
+        if stuffed:
+            st = np.array(stuffed, dtype=np.int64)
+            st = st[st < data_end]
+            keep[st + 1 - start] = False  # drop the 0x00 of each FF00 pair
+        useg = arr[start:data_end][keep]
+        # original byte position AFTER consuming unstuffed byte k
+        orig_idx = np.nonzero(keep)[0] + start + 1
+        if stuffed:
+            # a stuffed 0xFF consumes two original bytes
+            is_stuffed = np.zeros(data_end - start, dtype=bool)
+            st2 = np.array(stuffed, dtype=np.int64)
+            st2 = st2[st2 < data_end]
+            is_stuffed[st2 - start] = True
+            orig_idx = orig_idx + is_stuffed[keep].astype(np.int64)
+        self._orig_end = orig_idx
+        self._term_kind = term_kind
+        self._term_pos = term_pos
+        # sliding 64-bit big-endian window at every byte offset, held as a
+        # stdlib array('Q') so hot-loop indexing yields plain Python ints
+        # (a numpy scalar extraction per access costs ~3x); 64 bits cover a
+        # full Huffman code (<=16) plus its value bits (<=15) at any bit
+        # offset, so one access decodes a whole symbol
+        padded = np.concatenate([useg, np.zeros(8, dtype=np.uint8)]).astype(
+            np.uint64
+        )
+        w = np.zeros(len(useg) + 1, dtype=np.uint64)
+        for off in range(8):
+            w |= padded[off : off + len(w)] << np.uint64(8 * (7 - off))
+        import array as _array
+
+        self._w = _array.array("Q", w.tobytes())
+        self._nbits = 8 * len(useg)
+        self._bp = 0  # bit position within the segment
+
+    @property
+    def pos(self) -> int:
+        fills = (self._bp + 7) >> 3
+        if fills == 0:
+            return self._seg_start
+        return int(self._orig_end[fills - 1])
+
+    def _exhausted(self):
+        """The lazy byte reader would fill past the terminator here."""
+        if self._term_kind == "rst":
+            raise _RestartHit()
+        if self._term_kind == "marker":
+            raise ValueError("jpeg_truncated:marker_in_scan")
+        raise IndexError("entropy segment exhausted")
 
     def read(self, n: int) -> int:
-        while self.nbits < n:
-            self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
+        bp = self._bp
+        if bp + n > self._nbits:
+            self._exhausted()
+        self._bp = bp + n
+        if n == 0:
+            return 0
+        return (self._w[bp >> 3] >> (64 - (bp & 7) - n)) & ((1 << n) - 1)
 
     def restart(self) -> None:
         """Consume the RSTn marker at an aligned boundary."""
-        self.acc = 0
-        self.nbits = 0
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
-            self.pos += 1  # skip pad bits/bytes before the marker
-        self.pos += 2
+        data, n = self._arr, len(self._arr)
+        p = self.pos
+        while True:
+            if p + 1 >= n:
+                raise IndexError("no restart marker")
+            if data[p] == 0xFF and 0xD0 <= data[p + 1] <= 0xD7:
+                break
+            p += 1  # skip pad bits/bytes before the marker
+        self._load_segment(p + 2)
 
 
 class _RestartHit(ValueError):
@@ -646,12 +734,59 @@ class _RestartHit(ValueError):
         super().__init__("jpeg_unexpected_restart")
 
 
-def _huff_decode(reader: _BitReader, lut: dict) -> int:
+class _HuffTable:
+    """Canonical Huffman table with a flat 16-bit-prefix LUT: entry =
+    ``(symbol << 8) | code_length`` (or -1 for an invalid prefix), so one
+    peek resolves any code."""
+
+    __slots__ = ("d", "lut")
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.d = {lc: sym for sym, lc in zip(vals, _canonical_codes(bits))}
+        lut = np.full(1 << 16, -1, dtype=np.int32)
+        for (length, code), sym in self.d.items():
+            lo = code << (16 - length)
+            lut[lo : lo + (1 << (16 - length))] = (sym << 8) | length
+        self.lut = lut.tolist()  # plain-int indexing in the hot loop
+
+
+#: content-keyed _HuffTable memo — a pure function of the DHT spec, and
+#: most corpora reuse the handful of Annex-K tables, so the ~1ms 65536-
+#: entry LUT build would otherwise run 4x PER IMAGE (measured 22% of small-
+#: image decode).  Bounded: each entry is ~0.5 MB.
+_HUFF_MEMO: dict = {}
+
+
+def _huff_table(bits: list[int], vals: list[int]) -> _HuffTable:
+    key = (tuple(bits), tuple(vals))
+    tab = _HUFF_MEMO.get(key)
+    if tab is None:
+        if len(_HUFF_MEMO) >= 64:
+            _HUFF_MEMO.clear()
+        tab = _HuffTable(bits, vals)
+        _HUFF_MEMO[key] = tab
+    return tab
+
+
+def _huff_decode(reader: _BitReader, table: _HuffTable) -> int:
+    """One 16-bit peek + LUT hit on the fast path; within 16 bits of the
+    segment terminator fall back to the original bit-by-bit walk so codes
+    that legitimately complete there still decode, and exhaustion raises
+    at the exact point the byte-at-a-time reader would."""
+    bp = reader._bp
+    if bp + 16 <= reader._nbits:
+        peek = (reader._w[bp >> 3] >> (48 - (bp & 7))) & 0xFFFF
+        e = table.lut[peek]
+        if e < 0:
+            raise ValueError("jpeg_bad_huffman_code")
+        reader._bp = bp + (e & 0xFF)
+        return e >> 8
     length, code = 0, 0
+    d = table.d
     while length < 17:
         code = (code << 1) | reader.read(1)
         length += 1
-        sym = lut.get((length, code))
+        sym = d.get((length, code))
         if sym is not None:
             return sym
     raise ValueError("jpeg_bad_huffman_code")
@@ -681,16 +816,87 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
 def _block_seq(reader, dc_lut, ac_lut, zz, pred: int) -> int:
     """Sequential full-precision data unit (T.81 F.2.2): DC diff + all 63
     AC coefficients into the zigzag-space row ``zz``; returns the new DC
-    predictor."""
+    predictor.
+
+    Hot path (round 6): the whole symbol loop runs on local ints — 16-bit
+    peek + list-LUT Huffman resolve, value bits from the 32-bit window —
+    with a per-symbol headroom check (code<=16 + value<=15 bits = 31).
+    Within 31 bits of the segment terminator it falls back to the generic
+    reader path, which reproduces the byte-at-a-time reader's exhaustion
+    errors exactly."""
+    w = reader._w
+    nbits = reader._nbits
+    bp = reader._bp
+    if bp + 31 <= nbits:
+        t64 = w[bp >> 3]
+        sh = 64 - (bp & 7)
+        e = dc_lut.lut[(t64 >> (sh - 16)) & 0xFFFF]
+        if e < 0:
+            raise ValueError("jpeg_bad_huffman_code")
+        t = e >> 8
+        ln = e & 0xFF
+        if t > 15:
+            # only possible via a corrupt DHT: spec DC categories stop at
+            # 11; an unchecked t would read t bits into an unbounded
+            # magnitude
+            raise ValueError(f"jpeg_bad_dc_category:{t}")
+        if t:
+            v = (t64 >> (sh - ln - t)) & ((1 << t) - 1)
+            pred += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+        bp += ln + t
+        # buffer coefficients in a plain list and assign the row ONCE —
+        # ~45 numpy scalar setitems per block cost more than the full-row
+        # copy (sequential blocks are written exactly once, so unset
+        # positions staying 0 is correct)
+        buf = [0] * 64
+        buf[0] = pred
+        k = 1
+        ac = ac_lut.lut
+        while k < 64:
+            if bp + 31 > nbits:
+                reader._bp = bp
+                zz[:] = buf
+                _block_seq_tail(reader, ac_lut, zz, k)
+                return pred
+            t64 = w[bp >> 3]
+            sh = 64 - (bp & 7)
+            e = ac[(t64 >> (sh - 16)) & 0xFFFF]
+            if e < 0:
+                raise ValueError("jpeg_bad_huffman_code")
+            sym = e >> 8
+            ln = e & 0xFF
+            if sym == 0x00:  # EOB
+                bp += ln
+                break
+            if sym == 0xF0:  # ZRL
+                bp += ln
+                k += 16
+                continue
+            k += sym >> 4
+            size = sym & 0x0F
+            if k > 63:
+                raise ValueError("jpeg_coef_overflow")
+            if size:
+                v = (t64 >> (sh - ln - size)) & ((1 << size) - 1)
+                buf[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            bp += ln + size
+            k += 1
+        reader._bp = bp
+        zz[:] = buf
+        return pred
+    # segment nearly exhausted: generic path end to end
     t = _huff_decode(reader, dc_lut)
     if t > 15:
-        # only possible via a corrupt DHT: spec DC categories stop at 11;
-        # an unchecked t would read t bits into an unbounded magnitude
         raise ValueError(f"jpeg_bad_dc_category:{t}")
     diff = _extend(reader.read(t), t) if t else 0
     pred += diff
     zz[0] = pred
-    k = 1
+    _block_seq_tail(reader, ac_lut, zz, 1)
+    return pred
+
+
+def _block_seq_tail(reader, ac_lut, zz, k: int) -> None:
+    """Generic AC loop from position ``k`` (the near-terminator path)."""
     while k < 64:
         sym = _huff_decode(reader, ac_lut)
         if sym == 0x00:  # EOB
@@ -704,7 +910,6 @@ def _block_seq(reader, dc_lut, ac_lut, zz, pred: int) -> int:
             raise ValueError("jpeg_coef_overflow")
         zz[k] = _extend(reader.read(size), size)
         k += 1
-    return pred
 
 
 def _block_dc_first(reader, dc_lut, zz, pred: int, al: int) -> int:
@@ -924,10 +1129,7 @@ def _decode_jpeg_inner(raw: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 nval = sum(bits)
                 vals = list(body[b + 17 : b + 17 + nval])
-                lut = {
-                    lc: sym for sym, lc in zip(vals, _canonical_codes(bits))
-                }
-                hufs[(tclass, tid)] = lut
+                hufs[(tclass, tid)] = _huff_table(bits, vals)
                 b += 17 + nval
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog.
             if sof is not None:

@@ -183,29 +183,41 @@ def _png_unfilter(kind: int, line: np.ndarray, prev: np.ndarray,
     if kind == 1:  # Sub: out[x] = line[x] + out[x-bpp] -> prefix sum per lane
         lanes = line.reshape(-1, bpp).astype(np.uint64)
         return (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(-1)
-    out = np.empty_like(line)
-    w = line.shape[0] // bpp
-    lp = prev.astype(np.int32).reshape(w, bpp)
-    lf = line.astype(np.int32).reshape(w, bpp)
-    o = out.reshape(w, bpp)
-    left = np.zeros(bpp, dtype=np.int32)
-    if kind == 3:  # Average
-        for x in range(w):
-            left = (lf[x] + ((left + lp[x]) >> 1)) & 0xFF
-            o[x] = left
-        return out
+    # Average/Paeth carry a true left-neighbor recurrence.  Round 6: the
+    # recurrence runs over PLAIN PYTHON INTS on the flattened row — numpy
+    # ops on bpp-sized arrays per pixel were overhead-dominated (~8x slower
+    # measured); the integer math mod 256 is identical either way.
+    lfl = line.tolist()
+    lpl = prev.tolist()
+    n = len(lfl)
+    out_l = [0] * n
+    if kind == 3:  # Average: out[i] = line[i] + (out[i-bpp] + prev[i]) >> 1
+        for i in range(n):
+            a = out_l[i - bpp] if i >= bpp else 0
+            out_l[i] = (lfl[i] + ((a + lpl[i]) >> 1)) & 0xFF
+        return np.frombuffer(bytes(out_l), dtype=np.uint8)
     if kind == 4:  # Paeth
-        ul = np.zeros(bpp, dtype=np.int32)
-        for x in range(w):
-            up = lp[x]
-            p = left + up - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, up, ul))
-            left = (lf[x] + pred) & 0xFF
-            o[x] = left
-            ul = up
-        return out
+        for i in range(n):
+            if i >= bpp:
+                a = out_l[i - bpp]
+                c = lpl[i - bpp]
+            else:
+                a = 0
+                c = 0
+            b = lpl[i]
+            p = a + b - c
+            pa = p - a
+            if pa < 0:
+                pa = -pa
+            pb = p - b
+            if pb < 0:
+                pb = -pb
+            pc = p - c
+            if pc < 0:
+                pc = -pc
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out_l[i] = (lfl[i] + pred) & 0xFF
+        return np.frombuffer(bytes(out_l), dtype=np.uint8)
     raise ValueError(f"png_bad_filter:{kind}")
 
 
@@ -516,9 +528,20 @@ def image_features(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id",
                     out["mean_intensity"][i] = float(feats.mean())
             yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col).alias(id_col), F.col(bytes_col)).mapInPandas(
-        gen, FEATURE_SCHEMA
-    )
+    src = df.select(F.col(id_col).alias(id_col), F.col(bytes_col))
+    return _spread_narrow(src).mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def _spread_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input is narrower than the
+    cluster: a single parquet file scans as 1-2 partitions and the decode
+    pass then runs on 1-2 cores (measured 108 imgs/s at local[32] on a 5k-
+    JPEG frame — effectively serial).  Well-partitioned inputs pass through
+    untouched, so no payload bytes are shuffled at real scale."""
+    npart = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() >= npart:
+        return df
+    return df.repartition(npart)
 
 
 def frame_sample_plan(df: DataFrame, n_frames_col: str, every_k: int) -> DataFrame:
@@ -588,7 +611,7 @@ def image_dhash(df: DataFrame, bytes_col: str = "bytes", id_col: str = "id") -> 
                     out["dhash"][i] = dhash_hex(img)
             yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col), F.col(bytes_col)).mapInPandas(
+    return _spread_narrow(df.select(F.col(id_col), F.col(bytes_col))).mapInPandas(
         gen, "id bigint, dhash string, format string, error string"
     )
 
