@@ -353,9 +353,14 @@ def cosine_topk_lsh(
     )
 
 
-def _pair_cosine_arrow(dim: int):
+def _pair_cosine_arrow(dim: int, mirror: bool = False):
     """mapInArrow scorer for candidate pairs ``(src_id, nbr_id, av, bv)``
     -> ``(src_id, nbr_id, score)`` where score is the UNROUNDED cosine.
+
+    ``mirror=True``: the caller fed only ``src < nbr`` pairs (half the
+    join output and half the Arrow transfer) and the kernel emits BOTH
+    orders with the same score — valid because the bucket self-join's
+    candidate set is exactly symmetric and the cosine is, too.
 
     BIT-IDENTICAL to the Column form ``when(den==0, 0.0)
     .otherwise(dot(av,bv)/ (norm(av)*norm(bv)))``: elements widen
@@ -386,10 +391,22 @@ def _pair_cosine_arrow(dim: int):
             den = np.sqrt(na) * np.sqrt(nb)
             score = np.zeros(n_rows)
             np.divide(acc, den, out=score, where=den != 0.0)
-            yield pa.record_batch(
-                [batch.column("src_id"), batch.column("nbr_id"), pa.array(score)],
-                names=["src_id", "nbr_id", "score"],
-            )
+            s_arr = pa.array(score)
+            src = batch.column("src_id")
+            nbr = batch.column("nbr_id")
+            if mirror:
+                yield pa.record_batch(
+                    [
+                        pa.concat_arrays([src, nbr]),
+                        pa.concat_arrays([nbr, src]),
+                        pa.concat_arrays([s_arr, s_arr]),
+                    ],
+                    names=["src_id", "nbr_id", "score"],
+                )
+            else:
+                yield pa.record_batch(
+                    [src, nbr, s_arr], names=["src_id", "nbr_id", "score"]
+                )
 
     return score_batches
 
@@ -581,9 +598,13 @@ def knn_graph(
         b = banded.select(
             F.col("id").alias("nbr_id"), F.col("v").alias("bv"), "table", "bucket"
         )
+        # src < nbr halves the pairs the join materializes and ships to
+        # the scorer; the kernel mirrors each scored pair back to both
+        # orders (the bucket self-join's candidate set is symmetric, so
+        # the row set is identical to scoring both orders)
         pairs = (
             a.join(b, on=["table", "bucket"])
-            .filter(F.col("src_id") != F.col("nbr_id"))
+            .filter(F.col("src_id") < F.col("nbr_id"))
             .select("src_id", "nbr_id", "av", "bv")
         )
         id_t = dict(zip(pairs.schema.names, pairs.schema.fields))
@@ -591,7 +612,7 @@ def knn_graph(
             f"src_id {id_t['src_id'].dataType.simpleString()}, "
             f"nbr_id {id_t['nbr_id'].dataType.simpleString()}, score double"
         )
-        raw = pairs.mapInArrow(_pair_cosine_arrow(dim), out_schema)
+        raw = pairs.mapInArrow(_pair_cosine_arrow(dim, mirror=True), out_schema)
         scored = (
             raw.select("src_id", "nbr_id", F.round("score", 6).alias("score"))
             .repartition(F.col("src_id"))
