@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from valor_spark.operators.text import tokens
+from valor_spark.utils import spread_width
 
 MOD = 1_000_000_007
 
@@ -314,7 +315,7 @@ def minhash_lsh_pairs(
         F.array_distinct(tokens(F.col(text_col))).alias("toks"),
     ).filter(F.size("toks") > 0)
     idt = df.schema[id_col].dataType.simpleString()
-    npart = df.sparkSession.sparkContext.defaultParallelism * 2
+    npart = spread_width(df)
     # The banded rows and candidate self-join carry (doc, band, bucket)
     # ONLY — shipping the token arrays through the xbands-duplicated rows
     # and the shuffle multiplies the exchanged bytes by the band count.  The
@@ -450,7 +451,7 @@ def simhash_table(
         F.col(id_col),
         F.array_distinct(tokens(F.col(text_col))).alias("__toks"),
     )
-    npart = df.sparkSession.sparkContext.defaultParallelism * 2
+    npart = spread_width(df)
     out = base.repartition(npart).mapInArrow(
         _simhash_arrow(bits, id_col), f"{id_col} {idt}, sh long"
     )
@@ -540,12 +541,22 @@ def connected_components(
     rounds (propagation advances the min at least one hop per round, so this
     only trips on graphs with diameter > max_iter).
     """
+    # Materialize edges via an eager localCheckpoint rather than cache():
+    # AQE cannot re-partition a cached plan
+    # (spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=false), so
+    # cache() pins the distinct's full shuffle width — 64 near-empty cached
+    # partitions at the gate size, and every round's scan plus the seed
+    # aggregate pays ~cluster-width task overhead per pass (measured 3.1 s
+    # -> 0.3 s for the seed at local[32]).  The checkpoint materializes the
+    # AQE-coalesced result (advisory-sized partitions: ~1 at gate size,
+    # 100 MB-ish at scale) and truncates lineage, so the upstream pair
+    # generation also runs exactly once.
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    edges.cache()
     # Seed = identity init FUSED with the first propagation round: with
     # label(v)=v, round 1's min over {self} u {neighbor labels} is just the
     # min over {v} u {neighbors}, so one aggregate replaces the init
@@ -563,38 +574,35 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     label_t = labels.schema["label"].dataType
-    try:
-        for _ in range(max_iter):
-            # per-node changed flag computed INSIDE the same aggregate (the
-            # labels-side rows carry their old label, neighbor rows carry
-            # NULL; min ignores nulls) so the convergence probe is a filter
-            # over the freshly checkpointed frame instead of a join of two
-            # label tables — one cheap cached scan per round.
-            cur = labels.select(
-                "node", "label", F.col("label").alias("__old")
-            )
-            nbr = (
-                edges.join(labels.withColumnRenamed("node", "b"), on="b")
-                .select(F.col("a").alias("node"), "label")
-                .withColumn("__old", F.lit(None).cast(label_t))
-            )
-            new_labels = (
-                cur.unionByName(nbr)
-                .groupBy("node")
-                .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
-                .withColumn("__chg", F.col("label") != F.col("__old"))
-                .drop("__old")
-                .localCheckpoint(eager=True)
-            )
-            changed = new_labels.filter(F.col("__chg")).limit(1).count()
-            labels = new_labels.drop("__chg")
-            if changed == 0:
-                return labels.select("node", F.col("label").alias("component"))
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
+    for _ in range(max_iter):
+        # per-node changed flag computed INSIDE the same aggregate (the
+        # labels-side rows carry their old label, neighbor rows carry
+        # NULL; min ignores nulls) so the convergence probe is a filter
+        # over the freshly checkpointed frame instead of a join of two
+        # label tables — one cheap checkpointed scan per round.
+        cur = labels.select(
+            "node", "label", F.col("label").alias("__old")
         )
-    finally:
-        edges.unpersist()
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "b"), on="b")
+            .select(F.col("a").alias("node"), "label")
+            .withColumn("__old", F.lit(None).cast(label_t))
+        )
+        new_labels = (
+            cur.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("__old").alias("__old"))
+            .withColumn("__chg", F.col("label") != F.col("__old"))
+            .drop("__old")
+            .localCheckpoint(eager=True)
+        )
+        changed = new_labels.filter(F.col("__chg")).limit(1).count()
+        labels = new_labels.drop("__chg")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
 
 
 def resolve_duplicates(

@@ -6,6 +6,30 @@ import os
 import zipfile
 
 
+def spread_width(df, per_part_bytes: int = 128 << 10, floor: int = 1) -> int:
+    """Scale-adaptive width for the round-robin spread in front of a
+    CPU-heavy per-row pass (fingerprint kernels, tokenize chains).
+
+    A constant ``2 x defaultParallelism`` spread is right for big inputs
+    but pure overhead for tiny ones: a 64-way spread of a 220-doc frame
+    costs ~0.7 s of empty-task scheduling at local[32] (measured, round 6),
+    and the width also becomes the map side of every downstream exchange.
+    Width = Spark's own plan-estimated ``sizeInBytes`` (file bytes x filter
+    selectivity — a driver-side lookup, no job) divided by
+    ``per_part_bytes``, clamped to ``[floor, 2 x defaultParallelism]`` — so
+    a 100 TB input still saturates the cluster while a gate-sized frame
+    runs in a handful of tasks."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism * 2
+    try:
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # estimation is best-effort; fall back to full width
+        return cap
+    return max(floor, min(cap, (est + per_part_bytes - 1) // per_part_bytes))
+
+
 def build_pyfiles_zip(out_path: str = "/tmp/valor_spark.zip") -> str:
     """Zip the ``valor_spark`` package for ``spark-submit --py-files``.
 
