@@ -1792,7 +1792,11 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is exact under any partitioning; term filter sits UNDER the
     explode so only query-term hits shuffle; top-k is
     TakeOrderedAndProject."""
-    return TX.tfidf_topk(_docs_wide(spark, sf_dir), TFIDF_TERMS, k=10)
+    # raw table, not _docs_wide: the operator spreads its tokenize branch
+    # internally and counts n_docs off the unspread scan (a pruned parquet
+    # count) — routing through the repartition made the count shuffle the
+    # whole text column first
+    return TX.tfidf_topk(_t(spark, sf_dir, "documents"), TFIDF_TERMS, k=10)
 
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

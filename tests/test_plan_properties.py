@@ -157,7 +157,11 @@ def test_row_rule_scan_prunes_unused_columns(clips_parquet):
         rules,
         key_cols=["clip_id"],
     )
-    vio = res.violations()
+    # barrier=False: the default violations() path materializes the slim
+    # violating-rows frame through a localCheckpoint, which replaces the
+    # upstream plan with an RDD scan — the pruning property lives in the
+    # lazy plan underneath it
+    vio = res.violations(barrier=False)
     p = plan_of(vio)
     assert "bytes" not in p.split("ReadSchema:")[1].splitlines()[0]
 

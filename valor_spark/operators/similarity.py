@@ -411,6 +411,102 @@ def _pair_cosine_arrow(dim: int, mirror: bool = False):
     return score_batches
 
 
+def _bucket_topk_cosine_arrow(dim: int, k: int, id_arrow_type,
+                              margin: float = 2e-6):
+    """mapInArrow scorer over bucket GROUPS ``(items: list<struct<id,v>>)``
+    -> per-source candidate rows ``(src_id, nbr_id, score)``.
+
+    Replaces the join-then-score shape on two axes at once:
+
+    * **Arrow volume** — the self-join ships two d-dim vectors per
+      CANDIDATE PAIR (``O(pairs * d)`` bytes; 3.4 GB at 20k vectors /
+      6 planes / 2 tables).  Grouping by ``(table, bucket)`` ships each
+      vector ONCE per table (``O(N * n_tables * d)``, ~20 MB same corpus).
+    * **Downstream rows** — the kernel computes the bucket's full score
+      matrix and emits, per source row, only candidates that can still
+      reach the global top-``k``: everything scoring at least
+      ``(k-th best unrounded in this bucket) - margin``.  The engine-facing
+      ``round(score, 6)`` happens in Spark AFTER the kernel and moves a
+      score by at most 5e-7, so any pair the global rounded-order window
+      could rank above the k-th must be within 1e-6 of the bucket's k-th
+      unrounded score — ``margin=2e-6`` keeps a strict superset, and the
+      unchanged downstream dedup + window does the exact final selection.
+      Rows into the post-kernel shuffle drop from O(pairs) (13.8M at
+      sf1.0) to ~``N * n_tables * k``.
+
+    Score arithmetic is BIT-IDENTICAL to the pair fold
+    (:func:`_pair_cosine_arrow`): the Gram matrix accumulates rank-1
+    outer products in dim order, so each ``G[r, c]`` is the same
+    left-to-right IEEE double fold ``((0 + a0*b0) + a1*b1) + ...``; norms
+    fold in the same order, and ``sqrt(na) * sqrt(nb)`` / guarded divide
+    are the same single IEEE ops.  Per-group memory is one ``b x b``
+    matrix — bounded in practice because the quadratic score cost makes
+    oversized buckets infeasible long before their matrix does
+    (``auto_n_planes`` is the occupancy lever)."""
+
+    def score_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        empty_ids = pa.array([], type=id_arrow_type)
+
+        def emit(src, nbr, score):
+            return pa.record_batch(
+                [src, nbr, score], names=["src_id", "nbr_id", "score"]
+            )
+
+        for batch in batches:
+            items = batch.column("items")
+            offs = np.asarray(items.offsets)
+            structs = items.flatten()
+            ids_all = structs.field("id")
+            vecs = np.asarray(
+                structs.field("v").flatten(), dtype=np.float64
+            ).reshape(len(structs), dim)
+            out_any = False
+            for g in range(batch.num_rows):
+                lo, hi = int(offs[g]), int(offs[g + 1])
+                b = hi - lo
+                if b < 2:
+                    continue
+                V = vecs[lo:hi]
+                # exact-order Gram + norms: accumulate one rank-1 outer
+                # product per dimension, left-to-right — bit-identical to
+                # the per-pair fold
+                G = np.zeros((b, b))
+                n2 = np.zeros(b)
+                for i in range(dim):
+                    col = V[:, i]
+                    G += np.multiply.outer(col, col)
+                    n2 = n2 + col * col
+                rt = np.sqrt(n2)
+                den = np.multiply.outer(rt, rt)
+                S = np.zeros((b, b))
+                np.divide(G, den, out=S, where=den != 0.0)
+                np.fill_diagonal(S, -np.inf)
+                if b - 1 <= k:
+                    thresh = np.full(b, -np.inf)
+                else:
+                    # k-th largest per row (unrounded), minus the rounding
+                    # margin
+                    part = np.partition(S, b - k, axis=1)[:, b - k]
+                    thresh = part - margin
+                keep_r, keep_c = np.nonzero(S >= thresh[:, None])
+                if len(keep_r) == 0:
+                    continue
+                gids = ids_all.slice(lo, b)
+                out_any = True
+                yield emit(
+                    gids.take(pa.array(keep_r)),
+                    gids.take(pa.array(keep_c)),
+                    pa.array(S[keep_r, keep_c]),
+                )
+            if not out_any:
+                yield emit(empty_ids, empty_ids, pa.array([], type=pa.float64()))
+
+    return score_batches
+
+
 def _with_tb(
     df: DataFrame,
     vc: str,
@@ -592,27 +688,38 @@ def knn_graph(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         )
         banded = _with_tb(base, "v", n_planes, n_tables, None, spread_to=npart)
-        a = banded.select(
-            F.col("id").alias("src_id"), F.col("v").alias("av"), "table", "bucket"
+        # Bucket-grouped scoring instead of a pair self-join: collect each
+        # (table, bucket) occupancy into ONE list row — every vector
+        # crosses the Arrow boundary once per table (O(N * n_tables * d)
+        # bytes instead of O(pairs * d); 3.4 GB -> ~20 MB at sf1.0) — and
+        # the kernel scores the bucket's Gram matrix with the identical
+        # IEEE fold, emitting only the per-source rows that can still
+        # reach the global top-k (_bucket_topk_cosine_arrow), so the
+        # post-kernel shuffle carries ~N * n_tables * k rows instead of
+        # every candidate pair (13.8M -> ~0.25M at sf1.0).  The
+        # repartition spreads the ~n_tables * 2^n_planes group rows so hot
+        # buckets score in parallel.
+        import pyarrow as pa
+
+        id_dt = base.schema["id"].dataType
+        grouped = (
+            banded.groupBy("table", "bucket")
+            .agg(F.collect_list(F.struct("id", "v")).alias("items"))
+            .select("items")
+            .repartition(npart)
         )
-        b = banded.select(
-            F.col("id").alias("nbr_id"), F.col("v").alias("bv"), "table", "bucket"
-        )
-        # src < nbr halves the pairs the join materializes and ships to
-        # the scorer; the kernel mirrors each scored pair back to both
-        # orders (the bucket self-join's candidate set is symmetric, so
-        # the row set is identical to scoring both orders)
-        pairs = (
-            a.join(b, on=["table", "bucket"])
-            .filter(F.col("src_id") < F.col("nbr_id"))
-            .select("src_id", "nbr_id", "av", "bv")
-        )
-        id_t = dict(zip(pairs.schema.names, pairs.schema.fields))
         out_schema = (
-            f"src_id {id_t['src_id'].dataType.simpleString()}, "
-            f"nbr_id {id_t['nbr_id'].dataType.simpleString()}, score double"
+            f"src_id {id_dt.simpleString()}, "
+            f"nbr_id {id_dt.simpleString()}, score double"
         )
-        raw = pairs.mapInArrow(_pair_cosine_arrow(dim, mirror=True), out_schema)
+        raw = grouped.mapInArrow(
+            _bucket_topk_cosine_arrow(
+                dim, k, pa.from_numpy_dtype("int64")
+                if id_dt.simpleString() == "bigint"
+                else pa.from_numpy_dtype("int32")
+            ),
+            out_schema,
+        )
         scored = (
             raw.select("src_id", "nbr_id", F.round("score", 6).alias("score"))
             .repartition(F.col("src_id"))

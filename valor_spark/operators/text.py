@@ -406,10 +406,22 @@ def tfidf_topk(
     sits under the explode, so the shuffle carries (doc, term) hits, not
     the corpus); document frequency aggregates |terms| rows; the idf join
     broadcasts (|terms| rows); the final top-k is orderBy+limit —
-    TakeOrderedAndProject, per-partition partial top-k."""
+    TakeOrderedAndProject, per-partition partial top-k.
+
+    The tokenize chain is spread to a byte-derived width INSIDE the
+    operator (callers pass the raw table) and ``tf`` is materialized once
+    via a lazy localCheckpoint: the idf branch and the scored branch both
+    consume ``tf``, and without the barrier each triggers its own full
+    corpus tokenization; ``n_docs`` counts the unspread input, so the
+    count's scan stays a column-pruned parquet count instead of shuffling
+    the text."""
+    from valor_spark.utils import spread_width
+
     terms_arr = F.array(*[F.lit(t) for t in terms])
     hits = (
-        df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+        .repartition(spread_width(df))
+        .select("doc", tokens(F.col(text_col)).alias("__toks"))
         .select(
             "doc",
             F.explode(
@@ -417,7 +429,11 @@ def tfidf_topk(
             ).alias("term"),
         )
     )
-    tf = hits.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        hits.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     n_docs = df.select(F.count(F.lit(1)).alias("n"))
     idf = (
         tf.groupBy("term")
