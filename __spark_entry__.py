@@ -1371,33 +1371,35 @@ def q_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = (
         pairs.select(F.col("doc_b").alias("doc_id")).distinct().localCheckpoint()
     )
-    # slim (doc_id, source) frames for counting; the sampler is a pure
-    # deterministic filter so it composes over the slim frame unchanged
+    # ONE annotated slim frame + ONE aggregate for all four manifest
+    # counts: the quality / dedup / sample memberships become flags (two
+    # broadcast-sized joins; the sampler is a pure deterministic predicate
+    # via stratified_keep_expr), so the bookkeeping is a single groupBy
+    # instead of four aggregates joined back together (4 shuffles + 3
+    # joins of tiny frames — measured ~1.7 s of pure job overhead at
+    # sf1.0).  Counts are identical: each old count(frame) equals the
+    # conditional sum of its membership predicate, and sources with zero
+    # members sum to 0 exactly where the old left joins coalesced to 0.
     slim = docs.select("doc_id", "source")
-    qslim = slim.join(valid_ids, on="doc_id")
-    dslim = qslim.join(drop, on="doc_id", how="left_anti")
-    sslim = SP.stratified_sample(
-        dslim, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+    ann = (
+        slim.join(valid_ids.withColumn("__q", F.lit(1)), on="doc_id", how="left")
+        .join(drop.withColumn("__d", F.lit(1)), on="doc_id", how="left")
+    )
+    q = F.col("__q").isNotNull()
+    kept = q & F.col("__d").isNull()
+    sampled = kept & SP.stratified_keep_expr(
+        "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
         "doc_id", seed="r3", default_fraction=0.1,
     )
 
-    def cnt(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count(F.lit(1)).cast("bigint").alias(name)
-        )
+    def flag_count(pred, name: str):
+        return F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
 
-    out = (
-        cnt(slim, "n_input")
-        .join(cnt(qslim, "n_quality"), on="source", how="left")
-        .join(cnt(dslim, "n_deduped"), on="source", how="left")
-        .join(cnt(sslim, "n_sampled"), on="source", how="left")
-    )
-    return out.select(
-        "source",
-        "n_input",
-        F.coalesce("n_quality", F.lit(0)).cast("bigint").alias("n_quality"),
-        F.coalesce("n_deduped", F.lit(0)).cast("bigint").alias("n_deduped"),
-        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+    return ann.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        flag_count(q, "n_quality"),
+        flag_count(kept, "n_deduped"),
+        flag_count(sampled, "n_sampled"),
     )
 
 

@@ -99,7 +99,10 @@ def test_channel_rules_violations(spark, tmp_path):
     clean = {"ch_stereo_ok", "ch_mono_wav", "ch_raw_pcm", "ch_3ch", "ch_g711_wav"}
     assert not {k for k in viol if k[0] in clean}
     # the rule tree stays one shuffle-free stage over the mapInArrow pass
-    plan = res.violations()._jdf.queryExecution().executedPlan().toString()
+    # barrier=False: default violations() checkpoints the slim frame,
+    # which replaces the upstream plan with an RDD scan — the plan
+    # property lives in the lazy chain underneath
+    plan = res.violations(barrier=False)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
 

@@ -81,7 +81,10 @@ def test_defect_rules_violations(spark, tmp_path):
     clean = {"def_clean", "def_peak"}
     assert not {k for k in viol if k[0] in clean}
     # the rule tree stays one shuffle-free stage over the mapInArrow pass
-    plan = res.violations()._jdf.queryExecution().executedPlan().toString()
+    # barrier=False: default violations() checkpoints the slim frame,
+    # which replaces the upstream plan with an RDD scan — the plan
+    # property lives in the lazy chain underneath
+    plan = res.violations(barrier=False)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
 

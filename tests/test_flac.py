@@ -268,7 +268,10 @@ def test_val_flac_rules(spark, tmp_path):
         "fl_st_indep", "fl_st_left_side", "fl_st_mid_side", "fl_md5_zero",
     }
     assert not {k for k in viol if k[0] in clean}
-    plan = res.violations()._jdf.queryExecution().executedPlan().toString()
+    # barrier=False: default violations() checkpoints the slim frame,
+    # which replaces the upstream plan with an RDD scan — the plan
+    # property lives in the lazy chain underneath
+    plan = res.violations(barrier=False)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
 

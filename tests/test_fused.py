@@ -77,7 +77,10 @@ def test_corpus_audio_rules_one_project(spark, tmp_path):
     fused = audio_all_stats(spark.read.parquet(paths["data"]))
     res = validate(fused, corpus_audio_rules(), key_cols=["clip_id"])
     viol = res.violations().select("clip_id", "rule", "error")
-    plan = viol._jdf.queryExecution().executedPlan().toString()
+    # barrier=False for the PLAN assertion: the default path checkpoints
+    # the slim frame, replacing the upstream plan with an RDD scan
+    plan = (res.violations(barrier=False).select("clip_id", "rule", "error")
+            ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert plan.count("MapInArrow") == 1
     rules = {(r.clip_id, r.rule) for r in viol.collect()}

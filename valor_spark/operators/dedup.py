@@ -33,8 +33,12 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
     ``keep_id`` = min id is the canonical representative."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # byte-derived spread: the regexp+md5 pass otherwise runs at scan
+    # parallelism (a single parquet file = 1-2 tasks); a constant-width
+    # spread measured slower at gate size, the adaptive width does not
     return (
-        df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+        df.repartition(spread_width(df))
+        .select(F.md5(norm).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n") > 1)

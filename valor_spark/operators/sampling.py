@@ -79,11 +79,28 @@ def stratified_sample(
     -> keep fraction; strata not listed get ``default_fraction``.  Compiles
     to ONE filter with a CASE over the stratum column — no shuffle, no
     per-stratum passes, codegen-friendly at any corpus size."""
+    return df.filter(
+        stratified_keep_expr(stratum_col, fractions, key_col, seed,
+                             default_fraction)
+    )
+
+
+def stratified_keep_expr(
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "",
+    default_fraction: float = 0.0,
+) -> Column:
+    """The CASE keep-predicate behind :func:`stratified_sample`, exposed as
+    a Column so composite pipelines can fold the sampling decision into an
+    existing aggregate instead of materializing a filtered frame just to
+    count it."""
     key = F.col(key_col)
     keep = _keep(key, default_fraction, seed)
     for value, frac in sorted(fractions.items()):
         keep = F.when(F.col(stratum_col) == F.lit(value), _keep(key, frac, seed)).otherwise(keep)
-    return df.filter(keep)
+    return keep
 
 
 def sample_k_per_group(

@@ -503,6 +503,106 @@ def winnow_t(khashes: Column, w: int = 4) -> Column:
     return F.array_sort(F.array_distinct(wins))
 
 
+def _winnow_arrow(k: int, w: int, id_name: str, mode: str):
+    """mapInArrow winnowing kernel over ``(id, __toks)`` — exact replica of
+    the :func:`kgram_hashes_t` -> :func:`winnow_t` Column chain, which is
+    ~10M interpreted HOF lambda evaluations (one md5 + concat per k-gram,
+    one array_min per window) on a 50k-doc corpus.
+
+    The gram bytes are sliced out of ONE per-doc UTF-8 buffer (identical
+    bytes to ``concat_ws(" ", slice(toks, i, k))``), each md5's leading 8
+    bytes are the uint64 the 16-hex prefix encodes, and the w-window min
+    runs as ``w-1`` vectorized ``np.minimum`` passes.  Fixed-width
+    lowercase hex compares exactly like the uint64, so min/distinct/sort
+    agree with the string forms bit-for-bit.
+
+    ``mode='fps'``: emit exploded ``(id, fp int64)`` rows — equality-only
+    consumers (the pair self-join), int64 keys halve the shuffled key
+    bytes vs 16-char strings.
+    ``mode='profile'``: emit ``(id, n_kgrams, n_fp, fp_digest)`` — the
+    :func:`winnow_profile` row, digest = md5 of the comma-joined sorted
+    hex set (sorted by uint64 == sorted hex)."""
+
+    def fn(batches):
+        from hashlib import md5
+
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(id_name)
+            tl = batch.column("__toks").to_pylist()
+            out_idx: list[int] = []
+            fp_chunks = []
+            n_kgrams = np.zeros(batch.num_rows, dtype=np.int32)
+            n_fp = np.zeros(batch.num_rows, dtype=np.int32)
+            digests: list = [None] * batch.num_rows
+            for r, toks in enumerate(tl):
+                if toks is None or len(toks) < k:
+                    continue
+                m = len(toks)
+                text = " ".join(toks)
+                enc = text.encode("utf-8")
+                if len(enc) == len(text):  # pure-ASCII fast path
+                    lens = [len(t) for t in toks]
+                else:
+                    lens = [len(t.encode("utf-8")) for t in toks]
+                starts = np.zeros(m + 1, dtype=np.int64)
+                np.cumsum(np.asarray(lens, dtype=np.int64) + 1, out=starts[1:])
+                ends = starts[1:] - 1  # byte end of token i (excl. the space)
+                mp = m - k + 1
+                mv = memoryview(enc)
+                h = np.empty(mp, dtype=np.uint64)
+                ib = int.from_bytes
+                for i in range(mp):
+                    h[i] = ib(
+                        md5(mv[starts[i]:ends[i + k - 1]]).digest()[:8], "big"
+                    )
+                if mp <= w:
+                    fps = h.min(keepdims=True)
+                else:
+                    nwin = mp - w + 1
+                    M = h[:nwin].copy()
+                    for s in range(1, w):
+                        np.minimum(M, h[s:s + nwin], out=M)
+                    fps = M
+                fps = np.unique(fps)
+                if mode == "profile":
+                    n_kgrams[r] = mp
+                    n_fp[r] = len(fps)
+                    digests[r] = md5(
+                        ",".join("%016x" % x for x in fps).encode()
+                    ).hexdigest()[:16]
+                else:
+                    out_idx.extend([r] * len(fps))
+                    fp_chunks.append(fps)
+            if mode == "profile":
+                # one row per INPUT row — zero-gram docs carry 0/0/NULL,
+                # exactly like the Column chain's empty-array case
+                yield pa.record_batch(
+                    [
+                        ids,
+                        pa.array(n_kgrams, type=pa.int32()),
+                        pa.array(n_fp, type=pa.int32()),
+                        pa.array(digests, type=pa.string()),
+                    ],
+                    names=[id_name, "n_kgrams", "n_fp", "fp_digest"],
+                )
+            else:
+                take = pa.array(np.asarray(out_idx, dtype=np.int64))
+                flat = (
+                    np.concatenate(fp_chunks)
+                    if fp_chunks
+                    else np.zeros(0, dtype=np.uint64)
+                )
+                yield pa.record_batch(
+                    [ids.take(take), pa.array(flat.view(np.int64))],
+                    names=[id_name, "fp"],
+                )
+
+    return fn
+
+
 def winnow_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -515,26 +615,16 @@ def winnow_profile(
     of the sorted distinct fingerprint set — one short string that pins the
     EXACT selected-hash set for cross-engine comparison.
 
-    Two lower Projects materialize the token array and then the k-gram hash
-    stream, so the tokenizer runs once per document and the hash stream once
-    per window (not once per window ELEMENT — HOFs are interpreted;
-    CollapseProject keeps multiply-referenced non-trivial aliases)."""
-    fp = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
-        .select(id_col, kgram_hashes_t(F.col("__toks"), k).alias("__kh"))
-        .select(
-            F.col(id_col),
-            F.size(F.col("__kh")).alias("n_kgrams"),
-            winnow_t(F.col("__kh"), w).alias("__fp"),
-        )
-    )
-    return fp.select(
-        F.col(id_col),
-        "n_kgrams",
-        F.size("__fp").alias("n_fp"),
-        F.when(F.size("__fp") == 0, F.lit(None).cast("string")).otherwise(
-            F.substring(F.md5(F.concat_ws(",", F.col("__fp"))), 1, 16)
-        ).alias("fp_digest"),
+    Tokenization stays a JVM expression; the k-gram md5 stream and the
+    window-min selection run as ONE vectorized mapInArrow pass
+    (:func:`_winnow_arrow` — the Column chain is ~10M interpreted HOF
+    lambda evaluations on a 50k-doc corpus, measured the round-6 doc-tier
+    wall)."""
+    idt = df.schema[id_col].dataType.simpleString()
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return base.mapInArrow(
+        _winnow_arrow(k, w, id_col, "profile"),
+        f"{id_col} {idt}, n_kgrams int, n_fp int, fp_digest string",
     )
 
 
@@ -558,12 +648,16 @@ def winnow_pairs(
     more than ``max_fp_freq`` docs (boilerplate hashes pair half the corpus
     with the other half — the frequency cap bounds any bucket's pair
     fan-out at max_fp_freq^2, same treatment as ngram_jaccard), self-join
-    on the 16-hex hash, count per pair.  Shuffles carry (doc, hash)
-    scalars only, never text."""
+    on the fingerprint, count per pair.  Shuffles carry (doc, hash)
+    scalars only, never text — and the fingerprint key is the int64 the
+    16-hex prefix encodes (produced by the vectorized
+    :func:`_winnow_arrow` kernel; equality is bijective with the string
+    form, and only equality is consumed here), so the join key is 8 bytes
+    instead of a 16-char string."""
+    idt = df.schema[id_col].dataType.simpleString()
     fps = (
         df.select(F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("__toks"))
-        .select("doc", kgram_hashes_t(F.col("__toks"), k).alias("__kh"))
-        .select("doc", F.explode(winnow_t(F.col("__kh"), w)).alias("fp"))
+        .mapInArrow(_winnow_arrow(k, w, "doc", "fps"), f"doc {idt}, fp long")
     )
     # frequency cap as a WINDOW count over the fp partitioning instead of a
     # groupBy + join back: the join form evaluates the whole tokenize ->
