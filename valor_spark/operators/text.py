@@ -699,20 +699,27 @@ def ngram_contamination(
     >= ``min_shared`` distinct n-token shingles, with the shared count.
     Returns ``(train_id, eval_id, n_shared)``.
 
-    Scale shape: both sides explode to distinct shingles keyed by a 16-hex
-    md5 prefix (the join/shuffle carries the short hash, not the n-token
-    string), equi-join on the hash, count per pair.  The eval side is
-    normally tiny (a benchmark suite) — AQE broadcasts it; the corpus side
-    streams.  Hash collisions over-count with probability ~2^-64 per pair
-    — acceptable for a screening report (the md5 prefix is also what makes
-    the decision engine-portable)."""
+    Scale shape: both sides explode to distinct shingles keyed by the
+    int64 the 16-hex md5 prefix encodes (the join/shuffle carries an
+    8-byte key, not the n-token string), equi-join on the hash, count per
+    pair.  The eval side is normally tiny (a benchmark suite) — AQE
+    broadcasts it; the corpus side streams.  Hash collisions over-count
+    with probability ~2^-64 per pair — acceptable for a screening report
+    (the md5 prefix is also what makes the decision engine-portable).
+
+    The shingle hashing rides :func:`_winnow_arrow` with ``w=1`` (window
+    min of width 1 == the distinct gram-hash set itself): the Column chain
+    is one interpreted concat_ws + md5 HOF evaluation per gram — the same
+    ~10M-lambda wall the winnowing operators had (verified shingle-set-
+    identical to the Column form on the gate corpora)."""
     def side(df: DataFrame, out: str) -> DataFrame:
+        idt = df.schema[id_col].dataType.simpleString()
         return (
             df.select(
                 F.col(id_col).alias(out), tokens(F.col(text_col)).alias("__toks")
             )
-            .select(out, F.explode(shingles_t(F.col("__toks"), n)).alias("sh"))
-            .select(out, F.substring(F.md5("sh"), 1, 16).alias("h"))
+            .mapInArrow(_winnow_arrow(n, 1, out, "fps"), f"{out} {idt}, fp long")
+            .withColumnRenamed("fp", "h")
         )
 
     a = side(corpus, "train_id")
