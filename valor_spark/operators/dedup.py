@@ -332,11 +332,21 @@ def minhash_lsh_pairs(
         _minhash_bands_arrow(k, bands, "doc"),
         f"doc {idt}, band int, bucket long",
     )
+    # explicit-width repartition on the pair key feeds the dedup aggregate
+    # (same partitioning, no extra exchange) and pins the width through the
+    # verification joins below: AQE sizes the post-join exchange by BYTES,
+    # and a gate-sized candidate frame (258k pairs ~ 2 MB at sf1.0)
+    # coalesces to 1-2 partitions — serializing the interpreted
+    # array_intersect/array_union verification that is the whole tail cost.
+    # The blowup happens inside the join, so only an explicit width exposes
+    # it to the cluster (the knn_graph lesson).
+    vwidth = df.sparkSession.sparkContext.defaultParallelism
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bucket"])
         .filter(F.col("a.doc") < F.col("b.doc"))
         .select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .repartition(vwidth, "doc1", "doc2")
         .dropDuplicates(["doc1", "doc2"])
     )
     doc_toks = base.select("doc", "toks")

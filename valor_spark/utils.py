@@ -6,7 +6,13 @@ import os
 import zipfile
 
 
-def spread_width(df, per_part_bytes: int = 128 << 10, floor: int = 1) -> int:
+def spread_width(
+    df,
+    per_part_bytes: int = 128 << 10,
+    floor: int = 1,
+    rows_per_part: int = 4000,
+    count_below_bytes: int = 256 << 20,
+) -> int:
     """Scale-adaptive width for the round-robin spread in front of a
     CPU-heavy per-row pass (fingerprint kernels, tokenize chains).
 
@@ -18,7 +24,15 @@ def spread_width(df, per_part_bytes: int = 128 << 10, floor: int = 1) -> int:
     selectivity — a driver-side lookup, no job) divided by
     ``per_part_bytes``, clamped to ``[floor, 2 x defaultParallelism]`` — so
     a 100 TB input still saturates the cluster while a gate-sized frame
-    runs in a handful of tasks."""
+    runs in a handful of tasks.
+
+    Spark's default filter selectivity badly over-estimates highly
+    selective gate filters (``doc_id < 200`` on a 50k-row table estimates
+    43%, actual 0.4% — measured 2.9 s vs 0.7 s for the downstream
+    fingerprint chain).  So when the byte estimate is small
+    (``count_below_bytes``, bounding the probe at a ~256 MB column-pruned
+    scan) the width is refined by an exact row count; above the threshold
+    the count could itself be a full scan, so the byte estimate stands."""
     sc = df.sparkSession.sparkContext
     cap = sc.defaultParallelism * 2
     try:
@@ -27,7 +41,15 @@ def spread_width(df, per_part_bytes: int = 128 << 10, floor: int = 1) -> int:
         )
     except Exception:  # estimation is best-effort; fall back to full width
         return cap
-    return max(floor, min(cap, (est + per_part_bytes - 1) // per_part_bytes))
+    w_bytes = max(floor, min(cap, (est + per_part_bytes - 1) // per_part_bytes))
+    if w_bytes > floor and est <= count_below_bytes:
+        try:
+            n = df.count()
+        except Exception:
+            return w_bytes
+        w_rows = max(floor, (n + rows_per_part - 1) // rows_per_part)
+        return min(w_bytes, w_rows)
+    return w_bytes
 
 
 def build_pyfiles_zip(out_path: str = "/tmp/valor_spark.zip") -> str:
