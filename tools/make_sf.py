@@ -83,7 +83,10 @@ def scale_table(name: str, src: str, dst: str, k: int,
                 cols[field] = shifted.cast(arr.type)
             elif name == "documents" and field == "text" and i > 0:
                 texts = arr.to_pylist()
-                suf = f"·r{i}"  # per-replica word suffix
+                # ASCII suffix: the driver's corpora are ASCII, and the
+                # fingerprint kernels have an ASCII fast path — a non-ASCII
+                # marker here would unrepresentatively force the slow fold
+                suf = f"qx{i}"  # per-replica word suffix
                 cols[field] = pa.array(
                     [" ".join(w + suf for w in (t or "").split(" "))
                      for t in texts], type=arr.type)

