@@ -337,39 +337,68 @@ def baseline_from(
     VALUE as a string there (so string-typed categories like codec work;
     the legacy numeric bin_lo encoding remains a read fallback), numeric
     rows carry NULL."""
-    parts = []
+    # ONE scan for every column's histogram (the drift_report shape): each
+    # row projects one struct key per requested column (NULL when the value
+    # is NULL — same drop semantics as the per-column histograms), explodes,
+    # and a single count aggregate with map-side combine feeds all parts.
+    # The old per-column union re-scanned the input once per histogram
+    # family.  Shares and bin edges are the same expressions as before, so
+    # the output rows are value-identical (order differs; every consumer
+    # builds dicts or joins).  Struct keys, not delimited strings: category
+    # values may contain any character.
+    keys = []
     for col, (lo, hi, nbins) in numeric_cols.items():
-        width = (hi - lo) / nbins
-        h = numeric_histogram(df, col, lo, hi, nbins)
-        total = F.sum("cnt").over(Window.partitionBy())
-        parts.append(
-            h.select(
-                F.lit(col).alias("column_name"),
-                (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
-                (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
-                (F.col("cnt") / total).alias("expected_share"),
-                F.lit(None).cast("string").alias("category"),
+        keys.append(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(
+                    F.lit("n").alias("kind"),
+                    F.lit(col).alias("col"),
+                    _bin_expr(col, lo, hi, nbins).cast("string").alias("key"),
+                ),
             )
         )
     for col in categorical_cols:
-        h = categorical_histogram(df, col)
-        total = F.sum("cnt").over(Window.partitionBy())
-        parts.append(
-            h.select(
-                F.lit(col).alias("column_name"),
-                # try_cast: ANSI mode throws on non-numeric categories; the
-                # legacy numeric bin_lo slot is NULL for those (readers use
-                # the `category` column first)
-                F.col("value").try_cast("double").alias("bin_lo"),
-                F.col("value").try_cast("double").alias("bin_hi"),
-                (F.col("cnt") / total).alias("expected_share"),
-                F.col("value").cast("string").alias("category"),
+        keys.append(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(
+                    F.lit("c").alias("kind"),
+                    F.lit(col).alias("col"),
+                    F.col(col).cast("string").alias("key"),
+                ),
             )
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    hist = (
+        df.select(F.explode(F.array(*keys)).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.col("k.kind").alias("kind"), F.col("k.col").alias("col"),
+                 F.col("k.key").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = F.sum("cnt").over(Window.partitionBy("kind", "col"))
+
+    def per_col(expr_for):
+        out = F.lit(None).cast("double")
+        for col, (lo, hi, nbins) in numeric_cols.items():
+            out = F.when(F.col("col") == col, expr_for(lo, hi, nbins)).otherwise(out)
+        return out
+
+    b = F.col("key").cast("int")
+    bin_lo_n = per_col(lambda lo, hi, nb: F.lit(lo) + b * F.lit((hi - lo) / nb))
+    bin_hi_n = per_col(
+        lambda lo, hi, nb: F.lit(lo) + (b + 1) * F.lit((hi - lo) / nb)
+    )
+    is_num = F.col("kind") == "n"
+    return hist.select(
+        F.col("col").alias("column_name"),
+        # try_cast: ANSI mode throws on non-numeric categories; the legacy
+        # numeric bin_lo slot is NULL for those (readers use `category`)
+        F.when(is_num, bin_lo_n).otherwise(F.col("key").try_cast("double")).alias("bin_lo"),
+        F.when(is_num, bin_hi_n).otherwise(F.col("key").try_cast("double")).alias("bin_hi"),
+        (F.col("cnt") / total).alias("expected_share"),
+        F.when(is_num, F.lit(None).cast("string")).otherwise(F.col("key")).alias("category"),
+    )
 
 
 def chi2_df(obs: DataFrame, base: DataFrame, col: str, round_to: int = 6) -> DataFrame:
