@@ -329,13 +329,18 @@ def streaming_near_dup(
     ttl_ms: int | None = 86_400_000,
 ) -> DataFrame:
     """Cross-micro-batch NEAR-duplicate detection at ingest: winnowing
-    fingerprints are computed JVM-side (the batch text operators, one
-    narrow Project chain) BEFORE the stateful operator, then
-    ``applyInPandasWithState`` keyed by fingerprint remembers which docs
-    hold each hash across triggers.  Every (prior doc, new doc)
-    co-occurrence on a fingerprint emits one hit row ``(fp, doc_a,
-    doc_b)`` with ``doc_a < doc_b`` — exactly once, regardless of arrival
-    order, because a pair is emitted when its SECOND member arrives.
+    fingerprints are computed by the same vectorized ``_winnow_arrow``
+    kernel the batch operators ride (tokenization stays a JVM expression;
+    the k-gram md5 stream + window-min selection is one mapInArrow pass
+    emitting int64 fingerprint keys — per-doc sets identical to the
+    Column chain, and at ingest rates the per-batch gram volume is the
+    same scale hazard the batch rewrite measured) BEFORE the stateful
+    operator, then ``applyInPandasWithState`` keyed by fingerprint
+    remembers which docs hold each hash across triggers.  Every (prior
+    doc, new doc) co-occurrence on a fingerprint emits one hit row
+    ``(fp, doc_a, doc_b)`` with ``doc_a < doc_b`` — exactly once,
+    regardless of arrival order, because a pair is emitted when its
+    SECOND member arrives.
     Aggregating hits per pair (>= min_shared) downstream reproduces the
     batch ``winnow_pairs`` answer — stream execution, batch truth.
 
@@ -361,16 +366,13 @@ def streaming_near_dup(
     explicitly."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from valor_spark.operators.text import kgram_hashes_t, tokens, winnow_t
+    from valor_spark.operators.text import _winnow_arrow, tokens
 
-    fps = (
-        stream_df.select(
-            F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__toks")
-        )
-        .select("__doc", kgram_hashes_t(F.col("__toks"), k).alias("__kh"))
-        .select("__doc", F.explode(winnow_t(F.col("__kh"), w)).alias("fp"))
-    )
-    out_schema = "fp string, doc_a long, doc_b long"
+    idt = stream_df.schema[id_col].dataType.simpleString()
+    fps = stream_df.select(
+        F.col(id_col).alias("__doc"), tokens(F.col(text_col)).alias("__toks")
+    ).mapInArrow(_winnow_arrow(k, w, "__doc", "fps"), f"__doc {idt}, fp long")
+    out_schema = "fp long, doc_a long, doc_b long"
     state_schema = "ids array<long>"
 
     def fn(key, pdfs, state: "GroupState"):
