@@ -46,6 +46,28 @@ def test_token_hashes_offsets_matches_string_fold():
     assert (lens0 == lens1).all() and (starts0 == starts1).all()
 
 
+def test_token_hashes_offsets_non_ascii_vectorized_fold(spark):
+    """The vectorized UTF-16 fallback must reproduce Spark's own
+    split('')/ascii fold for CJK, combining-mark, and non-BMP (surrogate
+    pair) tokens — Java chars are UTF-16 units, so an emoji folds as TWO
+    units."""
+    from valor_spark.operators.dedup import token_hash
+
+    toks = [
+        "漢字テスト", "русский", "mixé", "🚀rocket", "a🚀b", "🚀",
+        "éclair", "plain", "ümlaut-ö", "ḟancy\U0001F600end",
+    ]
+    col = pa.array([toks], type=pa.list_(pa.string()))
+    hs, _, _ = _token_hashes_offsets(col)
+    want = [
+        r["h"]
+        for r in spark.createDataFrame([(t,) for t in toks], "tok string")
+        .select(token_hash(F.col("tok")).alias("h"))
+        .collect()
+    ]
+    assert list(hs) == want
+
+
 def test_token_hashes_offsets_empty():
     col = pa.array([], type=pa.list_(pa.string()))
     hs, lens, starts = _token_hashes_offsets(col)

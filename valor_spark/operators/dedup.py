@@ -112,11 +112,13 @@ def _token_hashes_np(tokens_list):
     EXACT integer replica of the Column fold ``(acc*31 + ascii(ch)) % MOD``
     (numpy int64; products stay < 2^35, far from overflow).
 
-    Character semantics match Spark exactly: ``F.split(tok, '')`` yields
-    UTF-16 code units (Java chars) and ``F.ascii`` returns the unit's
-    numeric value, so the fast path folds UTF-8 BYTES only when the batch
-    is pure ASCII (where bytes == units) and anything else takes the
-    per-token UTF-16-unit fold."""
+    Character semantics match Spark exactly: ``F.split(tok, '')`` splits
+    into CODEPOINTS (Spark strings are UTF8String; regex ops are
+    codepoint-aware — verified: ``split('a🚀b','')`` = [a, 🚀, b]) and
+    ``F.ascii`` returns the codepoint's numeric value (``ascii('🚀')`` =
+    128640, not a surrogate), so the fast path folds UTF-8 BYTES only when
+    the batch is pure ASCII (bytes == codepoints there) and anything else
+    folds ``ord(ch)`` per character."""
     import numpy as np
 
     n = len(tokens_list)
@@ -127,9 +129,8 @@ def _token_hashes_np(tokens_list):
         out = np.zeros(n, dtype=np.int64)
         for i, t in enumerate(tokens_list):
             acc = 0
-            bb = t.encode("utf-16-be")
-            for j in range(0, len(bb), 2):
-                acc = (acc * 31 + int.from_bytes(bb[j:j + 2], "big")) % MOD
+            for ch in t:
+                acc = (acc * 31 + ord(ch)) % MOD
             out[i] = acc
         return out
     data = np.frombuffer(joined.encode("ascii"), dtype=np.uint8).astype(np.int64)
@@ -171,8 +172,11 @@ def _token_hashes_offsets(col):
     the polynomial fold runs as ``max_len`` vectorized ``np.where`` steps
     (same exact integer sequence as the per-token fold; measured 7.8 s ->
     ~0.5 s single-core on a 2.7M-token corpus vs the masked-gather loop).
-    Any non-ASCII batch falls back to the Python-string path, whose
-    per-UTF-16-unit fold matches Spark's split/ascii semantics."""
+    Tokens that actually contain non-ASCII bytes are re-folded per
+    CODEPOINT (Spark's split('')/ascii semantics — a non-BMP char is ONE
+    codepoint, e.g. ascii('🚀') = 128640, NOT a surrogate pair), so mixed
+    corpora keep full speed for their ASCII majority and astral-plane
+    text hashes exactly like the Column fold."""
     import numpy as np
 
     row_lens = np.asarray(
@@ -222,11 +226,16 @@ def _token_hashes_offsets(col):
         )
         bad = np.nonzero(tok_max >= 128)[0]
         bad_toks = sa.take(pa.array(bad)).to_pylist()
+        # per-codepoint ord() fold over JUST the non-ASCII tokens.  A
+        # UTF-32 padded-matrix vectorization of this fallback was measured
+        # SLOWER than the plain loop at realistic non-ASCII token lengths
+        # (0.36x at 4 chars, 0.66x at 40; crossover only past ~120-char
+        # tokens — matrix construction + per-token encodes exceed the
+        # short ord() loops), so the loop stays.
         for i, tok in zip(bad, bad_toks):
             a = 0
-            bb = tok.encode("utf-16-be")
-            for u in range(0, len(bb), 2):
-                a = (a * 31 + int.from_bytes(bb[u:u + 2], "big")) % MOD
+            for ch in tok:
+                a = (a * 31 + ord(ch)) % MOD
             acc[i] = a
     return acc, row_lens, row_starts
 
